@@ -1,0 +1,12 @@
+from ldpc_error_floor_tpu.codes.protograph import Code, load_proto_matrix, save_proto_json
+from ldpc_error_floor_tpu.codes.graph import TannerGraph
+from ldpc_error_floor_tpu.codes.library import available_codes, get_code
+
+__all__ = [
+    "Code",
+    "TannerGraph",
+    "load_proto_matrix",
+    "save_proto_json",
+    "available_codes",
+    "get_code",
+]

@@ -1,0 +1,298 @@
+"""Neural min-sum (NMS) message-passing decoder as a `lax.scan` over iterations.
+
+Re-design of the reference's unrolled TF1 decoder graph
+(`Main_Functions.py:157-385`, one Python-built graph layer per iteration):
+
+* one scan step = one decoding iteration (VN update -> circulant routing ->
+  CN min/sign or sum-product update -> CN/UCN/VN neural weighting -> APP);
+* Tanner-graph routing is two static row gathers (see codes/graph.py), not
+  dense [E*z, E*z] lift matmuls;
+* check-node extrinsic min/sign (and sum-product extrinsic tanh-product) use
+  exclusive forward/backward cumulative scans over the padded check-degree
+  axis instead of the reference's O(E^2) tile-mask trick
+  (`Main_Functions.py:231-254`);
+* the Monte-Carlo batch is the trailing axis (TPU lane dimension), so the
+  whole decoder is trivially data-parallel under shard_map/pjit.
+
+Semantics parity notes (the sign-convention minefield, SURVEY.md section 2.4):
+LLRs are log(p1/p0) — positive LLR means bit 1; hard decision / bit error is
+``APP >= 0`` against the all-zero codeword; the CN sign recursion is
+``out_sign = -prod_extrinsic(where(v2c > 0, -1, +1))``; zero-magnitude
+messages are nudged to 1e-4 before the extrinsic min and squashed back after
+(reference `Main_Functions.py:229-250`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ldpc_error_floor_tpu.codes.graph import TannerGraph
+from ldpc_error_floor_tpu.codes.protograph import Code
+from ldpc_error_floor_tpu.models.weights import Params, WeightSpec, stack_weights
+from ldpc_error_floor_tpu.ops.ste import quantize_ste
+
+# decoding types, matching the reference's `decoding_type` codes
+SP = 0   # sum-product (tanh/atanh)
+MS = 1   # min-sum with zero-message epsilon handling
+QMS = 2  # quantized min-sum (STE quantizer)
+MS_RAW = 3  # min-sum without the zero-message epsilon nudge
+
+_PAD_MAG = 1.0e4  # magnitude sentinel excluded from extrinsic mins
+_EPS_MSG = 1.0e-4  # zero-message nudge
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Static decoder configuration (everything that shapes the jitted graph)."""
+
+    decoding_type: int = QMS
+    q_bit: int = 5
+    clip_llr: float = 20.0
+    target_node: int = 0  # >0: restrict outputs/metrics to first `target_node`
+    #                        proto columns (systematic option, main_Base.py:29)
+    remat: bool = False  # checkpoint each scan step (for deep training runs)
+    track_syndrome: bool = False  # also emit per-iteration syndrome-satisfied flags
+
+    def __post_init__(self):
+        if self.decoding_type not in (SP, MS, QMS, MS_RAW):
+            raise ValueError(f"bad decoding_type {self.decoding_type}")
+
+
+class DecodeResult(NamedTuple):
+    app_last: jnp.ndarray                 # [N*z, B] final-iteration APP LLRs
+    err_flags: Optional[jnp.ndarray]      # [T, B] bool — frame wrong at iter t
+    bit_errors: Optional[jnp.ndarray]     # [T, B] int32 — bit errors at iter t
+    apps: Optional[jnp.ndarray]           # [T, target*z, B] per-iteration APPs
+    syndrome_ok: Optional[jnp.ndarray]    # [T, B] bool — H*bits == 0 at iter t
+
+    @property
+    def uncor_mask(self) -> jnp.ndarray:
+        """[B] bool — wrong at *every* iteration (the genie-FER failure flag,
+        reference `Print_Functions.py:105-111`)."""
+        return jnp.all(self.err_flags, axis=0)
+
+
+def _extrinsic_min(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """For each slot d: min over all other slots along `axis` (identity 1e4)."""
+    ident = jnp.full_like(lax.slice_in_dim(x, 0, 1, axis=axis), _PAD_MAG)
+    inc_f = lax.cummin(x, axis=axis)
+    inc_b = lax.cummin(x, axis=axis, reverse=True)
+    f = jnp.concatenate([ident, lax.slice_in_dim(inc_f, 0, x.shape[axis] - 1,
+                                                 axis=axis)], axis=axis)
+    b = jnp.concatenate([lax.slice_in_dim(inc_b, 1, x.shape[axis], axis=axis),
+                         ident], axis=axis)
+    return jnp.minimum(f, b)
+
+
+def _extrinsic_prod(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """For each slot d: product over all other slots along `axis` (identity 1)."""
+    ident = jnp.ones_like(lax.slice_in_dim(x, 0, 1, axis=axis))
+    inc_f = lax.cumprod(x, axis=axis)
+    inc_b = lax.cumprod(x, axis=axis, reverse=True)
+    f = jnp.concatenate([ident, lax.slice_in_dim(inc_f, 0, x.shape[axis] - 1,
+                                                 axis=axis)], axis=axis)
+    b = jnp.concatenate([lax.slice_in_dim(inc_b, 1, x.shape[axis], axis=axis),
+                         ident], axis=axis)
+    return f * b
+
+
+class NMSDecoder:
+    """Weighted/neural min-sum decoder over a lifted QC-LDPC Tanner graph.
+
+    The decoder is functional: `decode(params, llr)` where `llr` is
+    ``[N*z, B]`` (batch last = TPU lanes) of p1/p0 channel LLRs.
+    """
+
+    def __init__(self, code: Code, cfg: DecoderConfig, spec: WeightSpec,
+                 graph: Optional[TannerGraph] = None):
+        self.code = code
+        self.cfg = cfg
+        self.spec = spec
+        self.graph = graph if graph is not None else TannerGraph(code)
+        g = self.graph
+        self.N, self.M, self.z = code.N, code.M, code.z
+        self.Dv, self.Dc = g.Dv, g.Dc
+        self.target = cfg.target_node if cfg.target_node > 0 else self.N
+        # device-side index maps (jit constants)
+        self._cn_in = jnp.asarray(g.cn_in_idx)
+        self._vn_in = jnp.asarray(g.vn_in_idx)
+        self._cn_vn = jnp.asarray(g.cn_vn_idx)
+        self._cn_edge_idx = jnp.asarray(g.cn_slot_edge_idx)
+        self._decode_jit = jax.jit(self._decode_impl,
+                                   static_argnames=("collect",))
+
+    # ----- weight broadcasting -------------------------------------------------
+    def _cn_weight(self, w_t: jnp.ndarray, mode: int) -> jnp.ndarray:
+        """Per-iteration CN/UCN weight row -> broadcastable [M, Dc, 1, 1]."""
+        if mode in (1, 4):       # per-edge (CN order)
+            w = w_t[self._cn_edge_idx]                       # [M, Dc]
+        elif mode in (2, 5):     # per check node
+            w = w_t[:, None]                                 # [M, 1]
+        else:                    # per-iteration scalar
+            w = w_t[0][None, None]                           # [1, 1]
+        return w[:, :, None, None]
+
+    def _vn_weight(self, llr3: jnp.ndarray, w_t: Optional[jnp.ndarray]) -> jnp.ndarray:
+        mode = self.spec.sharing[2]
+        if mode == 0 or w_t is None:
+            return llr3
+        if mode in (2, 5):
+            return llr3 * w_t[:, None, None]
+        return llr3 * w_t[0]
+
+    # ----- public API -----------------------------------------------------------
+    def decode(self, params: Params, llr: jnp.ndarray,
+               labels: Optional[jnp.ndarray] = None,
+               collect: str = "stats") -> DecodeResult:
+        """Run `spec.n_iters` decoding iterations.
+
+        collect: 'stats' (per-iteration error flags + bit-error counts),
+        'apps' (per-iteration APP stacks for training losses), or
+        'app_last' (final APP only).
+        """
+        stacked = stack_weights(self.spec, params)
+        if labels is None:
+            labels = jnp.zeros((self.target * self.z, llr.shape[-1]), jnp.float32)
+        return self._decode_jit(stacked, llr, labels, collect=collect)
+
+    def apply(self, params: Params, llr: jnp.ndarray,
+              labels: Optional[jnp.ndarray] = None,
+              collect: str = "apps") -> DecodeResult:
+        """Un-jitted `decode` for composition inside larger jitted/grad'd
+        computations (training steps, shard_map bodies)."""
+        stacked = stack_weights(self.spec, params)
+        if labels is None:
+            labels = jnp.zeros((self.target * self.z, llr.shape[-1]), jnp.float32)
+        return self._decode_impl(stacked, llr, labels, collect=collect)
+
+    # ----- implementation --------------------------------------------------------
+    def _decode_impl(self, stacked: Dict[str, Optional[jnp.ndarray]],
+                     llr: jnp.ndarray, labels: jnp.ndarray,
+                     collect: str) -> DecodeResult:
+        cfg, spec = self.cfg, self.spec
+        N, M, z, Dv, Dc = self.N, self.M, self.z, self.Dv, self.Dc
+        B = llr.shape[-1]
+        T = spec.n_iters
+        qms = cfg.decoding_type == QMS
+        llr3 = llr.reshape(N, z, B)
+        llr_app = quantize_ste(llr3, cfg.q_bit) if qms else llr3
+        labels_t = labels.astype(jnp.float32)
+
+        xs: Dict[str, jnp.ndarray] = {"t": jnp.arange(T)}
+        for kind in ("cn", "ucn", "vn"):
+            if stacked[kind] is not None:
+                xs[kind] = stacked[kind]
+
+        zero_row = jnp.zeros((1, B), jnp.float32)
+
+        def step(carry, x):
+            y_prev, prev_bits, _ = carry
+            t = x["t"]
+
+            # (1) weighted (and quantized) channel input — reference 164-177
+            llr_w = self._vn_weight(llr3, x.get("vn"))
+            if qms:
+                llr_w = quantize_ste(llr_w, cfg.q_bit)
+
+            # (2) UCN detection from previous iteration's APP — reference 180-209
+            if spec.ucn_enabled:
+                cur_bits = (llr_w.reshape(N * z, B) >= 0).astype(jnp.float32)
+                bits_src = jnp.where(t == 0, cur_bits, prev_bits)
+                bits_pad = jnp.concatenate([bits_src, zero_row], axis=0)
+                pm = 1.0 - 2.0 * bits_pad[self._cn_vn].reshape(M, Dc, z, B)
+                u = (jnp.prod(pm, axis=1) < 0).astype(jnp.float32)[:, None]  # [M,1,z,B]
+            else:
+                u = None
+
+            # (3) VN update: extrinsic sum of C->V + channel — reference 212-230
+            s_prev = jnp.sum(y_prev, axis=1)                     # [N, z, B]
+            v2c = llr_w[:, None] + s_prev[:, None] - y_prev      # [N, Dv, z, B]
+            if qms:
+                v2c = quantize_ste(v2c, cfg.q_bit)
+            else:
+                v2c = jnp.clip(v2c, -cfg.clip_llr, cfg.clip_llr)
+            if cfg.decoding_type in (MS, QMS):
+                v2c = jnp.where(v2c == 0.0, _EPS_MSG, v2c)
+
+            # (4) route to check-node-major arrangement (circulant shifts)
+            v2c_flat = jnp.concatenate([v2c.reshape(N * Dv * z, B), zero_row], 0)
+            xc = v2c_flat[self._cn_in].reshape(M, Dc, z, B)
+
+            # (5) CN update — reference 231-263
+            if cfg.decoding_type == SP:
+                tt = jnp.tanh(-0.5 * xc)
+                tt = jnp.where(tt == 0.0, 1.0, tt)  # structural pads & zeros -> 1
+                prod = _extrinsic_prod(tt)
+                prod = jnp.clip(prod, -1.0 + 1e-7, 1.0 - 1e-7)
+                out = -2.0 * jnp.arctanh(prod)
+                mag = jnp.abs(out)
+            else:
+                amag = jnp.where(xc == 0.0, _PAD_MAG, jnp.abs(xc))
+                sgn = jnp.where(xc > 0.0, -1.0, 1.0)
+                mag = _extrinsic_min(amag)
+                mag = jnp.where(jnp.abs(mag) <= _EPS_MSG, mag - _EPS_MSG, mag)
+                out = mag * (-_extrinsic_prod(sgn))
+
+            # (6) neural CN/UCN weighting + ReLU + clip/quantize — reference 267-316
+            cn_mode = spec.sharing[0]
+            if cn_mode == 0:
+                wmag = mag
+            else:
+                w = self._cn_weight(x["cn"], cn_mode)
+                if spec.ucn_enabled:
+                    w_u = self._cn_weight(x["ucn"], spec.sharing[1])
+                    w = w * (1.0 - u) + w_u * u
+                wmag = mag * w
+            wmag = wmag * (wmag > 0.0)
+            if qms:
+                wmag = quantize_ste(wmag, cfg.q_bit)
+            else:
+                wmag = jnp.clip(wmag, -cfg.clip_llr, cfg.clip_llr)
+            c2v = wmag * jnp.sign(out)
+
+            # (7) route back to variable-node-major arrangement
+            c2v_flat = jnp.concatenate([c2v.reshape(M * Dc * z, B), zero_row], 0)
+            y = c2v_flat[self._vn_in].reshape(N, Dv, z, B)
+
+            # (8) APP and hard decisions — reference 317-335
+            app = jnp.clip(llr_app + jnp.sum(y, axis=1), -cfg.clip_llr,
+                           cfg.clip_llr)                          # [N, z, B]
+            app_flat = app.reshape(N * z, B)
+            bits = (app_flat >= 0.0).astype(jnp.float32)
+
+            app_target = app_flat[: self.target * z]
+            if collect == "apps":
+                ys = app_target
+            elif collect == "stats":
+                wrong = (app_target >= 0.0) != (labels_t >= 0.5)
+                nerr = jnp.sum(wrong, axis=0).astype(jnp.int32)
+                ys = (jnp.any(wrong, axis=0), nerr)
+                if cfg.track_syndrome:
+                    bits_pad2 = jnp.concatenate([bits, zero_row], axis=0)
+                    pm2 = 1.0 - 2.0 * bits_pad2[self._cn_vn].reshape(M, Dc, z, B)
+                    synd_ok = jnp.all(jnp.prod(pm2, axis=1) > 0, axis=(0, 1))
+                    ys = ys + (synd_ok,)
+            else:
+                ys = ()
+            return (y, bits, app_flat), ys
+
+        if cfg.remat:
+            step = jax.checkpoint(step)
+
+        carry0 = (jnp.zeros((N, Dv, z, B), jnp.float32),
+                  jnp.zeros((N * z, B), jnp.float32),
+                  jnp.zeros((N * z, B), jnp.float32))
+        (_, _, app_last), ys = lax.scan(step, carry0, xs)
+
+        if collect == "apps":
+            return DecodeResult(app_last, None, None, ys, None)
+        if collect == "stats":
+            synd = ys[2] if cfg.track_syndrome else None
+            return DecodeResult(app_last, ys[0], ys[1], None, synd)
+        return DecodeResult(app_last, None, None, None, None)

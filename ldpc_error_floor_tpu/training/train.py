@@ -1,0 +1,75 @@
+"""Jitted training step: Adam over the current training block's weights.
+
+Design notes vs the reference (`Main_Functions.py:360-378`,
+`main_Base.py:143-164`):
+
+* The reference rebuilds the whole TF graph per training block and gives
+  Adam a var_list restricted to the block's variables.  Here the parameter
+  pytree always spans the full decode depth; block selection is a boolean
+  row mask applied to the gradients.  With a fresh optimizer state per block
+  (as the reference's graph rebuild implies) the two are exactly equivalent:
+  masked rows keep zero moments and never move.
+* The [min_w, max_w] box constraint is applied after every update, matching
+  the TF variable constraint (`Main_Functions.py:434`).
+* Learning rate is a runtime input (optax.inject_hyperparams), so epoch-wise
+  lr decay (`main_Base.py:194-195`) does not recompile.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ldpc_error_floor_tpu.models.nms import NMSDecoder
+from ldpc_error_floor_tpu.models.weights import (Params, WeightSpec, clip_weights,
+                                                 trainable_mask)
+from ldpc_error_floor_tpu.training.losses import multi_iteration_loss
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: optax.OptState
+
+
+def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def make_train_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
+                    train_start: int, train_end: int, fixed_init: int = 0,
+                    optimizer: Optional[optax.GradientTransformation] = None,
+                    donate: bool = True) -> Callable:
+    """Build a jitted (params, opt_state, llr, labels, etha) -> (state, loss)
+    step for the training block [train_start, train_end)."""
+    if optimizer is None:
+        optimizer = make_optimizer()
+    masks = trainable_mask(spec, train_start, train_end, fixed_init)
+    mask_arrays: Dict[str, Optional[jnp.ndarray]] = {
+        k: (None if v is None else jnp.asarray(v[:, None], jnp.float32))
+        for k, v in masks.items()}
+    t_lo = max(train_start - fixed_init, spec.fixed_iter)
+
+    def step(params: Params, opt_state, llr, labels, etha):
+        def loss_fn(p):
+            res = decoder.apply(p, llr, labels=labels, collect="apps")
+            return multi_iteration_loss(res.apps, labels, loss_type, etha,
+                                        t_start=t_lo)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = {k: (None if g is None else g * mask_arrays[k])
+                 for k, g in grads.items()}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = clip_weights(spec, params)
+        return TrainState(params, opt_state), loss
+
+    donate_args = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
