@@ -1,0 +1,121 @@
+"""Headline benchmark: decoded codewords/s/chip, wman_N0576 @ 20 QMS iterations.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "codewords/s", "vs_baseline": R}
+
+`value` is this framework's fused sample+decode throughput on the local
+chip (best over a batch-size sweep).  `vs_baseline` is the speedup over a
+same-chip JAX implementation of the *reference's* computational structure
+(dense [E*z, E*z] lift matmuls + [B, z, E, E] tile-reduce check update —
+see benchmarks/reference_style.py), also taken at its best batch size.
+Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_step(fn, args, warmup=3, iters=20):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from ldpc_error_floor_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+    from ldpc_error_floor_tpu.channel import AWGNChannel
+    from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+    from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder,
+                                             WeightSpec, init_weights)
+    from benchmarks.reference_style import DenseReferenceDecoder
+
+    code = get_code("wman_N0576_R34_z24")
+    graph = TannerGraph(code)
+    T = 20
+    spec = WeightSpec(sharing=(3, 0, 3), n_iters=T)
+    decoder = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5), spec,
+                         graph=graph)
+    channel = AWGNChannel(code, decoding_type=2, q_bit=5)
+    params = init_weights(spec, graph)
+    sigma = jnp.float32(code.snr_sigmas([3.5])[0])
+    key = jax.random.PRNGKey(0)
+
+    # --- ours: fused sample + decode + counters ---
+    def make_step(batch):
+        def step(params, key, sigma):
+            llr = channel.sample(key, jnp.full((batch,), sigma, jnp.float32))
+            res = decoder.apply(params, llr, collect="stats")
+            return (jnp.sum(res.bit_errors[-1]), jnp.sum(res.err_flags[-1]),
+                    jnp.sum(res.uncor_mask))
+        return jax.jit(step)
+
+    best = (0.0, 0)
+    for batch in (2048, 8192, 32768):
+        try:
+            dt = time_step(make_step(batch), (params, key, sigma))
+        except Exception as e:  # OOM etc.
+            log(f"ours batch {batch}: failed ({type(e).__name__})")
+            continue
+        rate = batch / dt
+        log(f"ours batch {batch}: {rate:,.0f} codewords/s ({dt*1e3:.2f} ms/step)")
+        if rate > best[0]:
+            best = (rate, batch)
+    ours, ours_batch = best
+
+    # --- baseline: reference-style dense-matmul structure, same chip ---
+    dense = DenseReferenceDecoder(graph, n_iters=T, decoding_type=2, q_bit=5)
+    w = jnp.ones((T,), jnp.float32)
+
+    def make_dense_step(batch):
+        def step(key, sigma):
+            llr = channel.sample(key, jnp.full((batch,), sigma, jnp.float32))
+            llr_b = llr.T.reshape(batch, code.N, code.z)
+            app, errs = dense.decode(w, w, llr_b)
+            return jnp.sum(errs[-1])
+        return jax.jit(step)
+
+    best_d = (0.0, 0)
+    for batch in (20, 128, 512):
+        try:
+            dt = time_step(make_dense_step(batch), (key, sigma), iters=10)
+        except Exception as e:
+            log(f"dense batch {batch}: failed ({type(e).__name__})")
+            continue
+        rate = batch / dt
+        log(f"dense-ref batch {batch}: {rate:,.0f} codewords/s "
+            f"({dt*1e3:.2f} ms/step)")
+        if rate > best_d[0]:
+            best_d = (rate, batch)
+    dense_rate, dense_batch = best_d
+
+    vs = ours / dense_rate if dense_rate else float("nan")
+    log(f"best ours: {ours:,.0f} cw/s @ batch {ours_batch}; "
+        f"best dense-ref: {dense_rate:,.0f} cw/s @ batch {dense_batch}; "
+        f"speedup {vs:.1f}x")
+    print(json.dumps({
+        "metric": "decoded codewords/s/chip (N576, 20 iters)",
+        "value": round(ours, 1),
+        "unit": "codewords/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

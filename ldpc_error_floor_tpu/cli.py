@@ -1,0 +1,160 @@
+"""Command-line interface.
+
+The reference has no CLI — experiments are run by hand-editing module
+constants in `main_Base.py`/`main_Post.py`.  Here every phase of the
+boosting pipeline is a subcommand over a JSON config:
+
+    python -m ldpc_error_floor_tpu.cli codes
+    python -m ldpc_error_floor_tpu.cli train --config base.json
+    python -m ldpc_error_floor_tpu.cli collect --config collect.json --words 20000
+    python -m ldpc_error_floor_tpu.cli split-uncor --uncor Uncor.txt --code wman_N0576_R34_z24 \
+        --train 10000 --valid 5000 --test 5000
+    python -m ldpc_error_floor_tpu.cli simulate --code wman_N0576_R34_z24 \
+        --weights wman_N0576_R34_z24_base20 --sharing 3 3 3 --iters 20 \
+        --snrs 3.0 3.5 4.0 --target-errors 100
+    python -m ldpc_error_floor_tpu.cli init-config --out base.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_codes(args) -> int:
+    from ldpc_error_floor_tpu.codes import available_codes, get_code
+    for name in available_codes():
+        c = get_code(name)
+        print(f"{name}: M={c.M} N={c.N} z={c.z} E={c.n_edges} "
+              f"n={c.n} k={c.k} R={c.rate:.3f}")
+    return 0
+
+
+def _cmd_init_config(args) -> int:
+    from ldpc_error_floor_tpu.pipelines import base_config_wman, post_config_wman
+    cfg = post_config_wman() if args.post else base_config_wman()
+    cfg.to_json(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_train(args) -> int:
+    from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_training
+    cfg = ExperimentConfig.from_json(args.config)
+    res = run_training(cfg, eval_batch=args.eval_batch)
+    print(f"done; best metric {res.best_metric:.3e}")
+    return 0
+
+
+def _cmd_collect(args) -> int:
+    from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_collection
+    cfg = ExperimentConfig.from_json(args.config)
+    words = run_collection(cfg, weight_file=args.weights,
+                           target_words=args.words, batch=args.batch,
+                           out_file=args.out)
+    print(f"collected {words.shape[0]} uncorrected words -> {args.out}")
+    return 0
+
+
+def _cmd_split_uncor(args) -> int:
+    from ldpc_error_floor_tpu.pipelines import split_uncor_dataset
+    split_uncor_dataset(args.uncor, args.code, args.input_dir,
+                        args.train, args.valid, args.test)
+    print(f"split {args.uncor} into {args.input_dir}/[Uncor]_{args.code}*")
+    return 0
+
+
+def _cmd_simulate(args) -> int:
+    import jax
+
+    from ldpc_error_floor_tpu.channel import AWGNChannel
+    from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+    from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder,
+                                             WeightSpec, init_weights,
+                                             load_params)
+    from ldpc_error_floor_tpu.parallel import data_mesh
+    from ldpc_error_floor_tpu.sim import FERSimulator
+
+    code = get_code(args.code)
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=tuple(args.sharing), n_iters=args.iters,
+                      fixed_iter=args.fixed_iter)
+    dec = NMSDecoder(code, DecoderConfig(decoding_type=args.decoding_type,
+                                         q_bit=args.q_bit), spec, graph=graph)
+    if args.weights:
+        params = load_params(spec, graph, args.weights)
+    else:
+        params = init_weights(spec, graph)
+    ch = AWGNChannel(code, decoding_type=args.decoding_type, q_bit=args.q_bit)
+    mesh = data_mesh() if args.mesh else None
+    sim = FERSimulator(dec, ch, batch=args.batch, mesh=mesh)
+    key = jax.random.PRNGKey(args.seed)
+    points = sim.run_curve(params, args.snrs, key,
+                           max_frames=args.max_frames,
+                           target_frame_errors=args.target_errors)
+    for pt in points:
+        print(json.dumps(vars(pt)))
+    return 0
+
+
+def main(argv=None) -> int:
+    from ldpc_error_floor_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+    p = argparse.ArgumentParser(prog="ldpc_error_floor_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("codes", help="list bundled codes")
+
+    pc = sub.add_parser("init-config", help="write a template config")
+    pc.add_argument("--out", default="config.json")
+    pc.add_argument("--post", action="store_true",
+                    help="post-decoder template (UCN, uncor data)")
+
+    pt = sub.add_parser("train", help="train a decoder (base or post)")
+    pt.add_argument("--config", required=True)
+    pt.add_argument("--eval-batch", type=int, default=None)
+
+    pl = sub.add_parser("collect", help="harvest uncorrected words")
+    pl.add_argument("--config", required=True)
+    pl.add_argument("--weights", default=None)
+    pl.add_argument("--words", type=int, default=20000)
+    pl.add_argument("--batch", type=int, default=4096)
+    pl.add_argument("--out", default="Uncor.txt")
+
+    ps = sub.add_parser("split-uncor", help="split Uncor.txt into datasets")
+    ps.add_argument("--uncor", required=True)
+    ps.add_argument("--code", required=True)
+    ps.add_argument("--input-dir", default="./Inputs")
+    ps.add_argument("--train", type=int, required=True)
+    ps.add_argument("--valid", type=int, required=True)
+    ps.add_argument("--test", type=int, required=True)
+
+    pm = sub.add_parser("simulate", help="Monte-Carlo FER curve")
+    pm.add_argument("--code", required=True)
+    pm.add_argument("--weights", default=None,
+                    help="weight file / bundled set (default: all-ones)")
+    pm.add_argument("--sharing", type=int, nargs=3, default=[3, 3, 3])
+    pm.add_argument("--iters", type=int, default=20)
+    pm.add_argument("--fixed-iter", type=int, default=0, dest="fixed_iter")
+    pm.add_argument("--decoding-type", type=int, default=2, dest="decoding_type")
+    pm.add_argument("--q-bit", type=int, default=5, dest="q_bit")
+    pm.add_argument("--snrs", type=float, nargs="+", required=True)
+    pm.add_argument("--batch", type=int, default=4096)
+    pm.add_argument("--max-frames", type=int, default=10_000_000,
+                    dest="max_frames")
+    pm.add_argument("--target-errors", type=int, default=100,
+                    dest="target_errors")
+    pm.add_argument("--seed", type=int, default=0)
+    pm.add_argument("--mesh", action="store_true",
+                    help="shard the batch over all devices")
+
+    args = p.parse_args(argv)
+    return {"codes": _cmd_codes, "init-config": _cmd_init_config,
+            "train": _cmd_train, "collect": _cmd_collect,
+            "split-uncor": _cmd_split_uncor,
+            "simulate": _cmd_simulate}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

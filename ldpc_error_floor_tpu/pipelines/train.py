@@ -1,0 +1,224 @@
+"""Training driver: the reference's `main_Base.py` / `main_Post.py` epoch and
+block loops as a reusable function.
+
+Capabilities (SURVEY.md C11/C12/C15/C16):
+* block-wise Delta1/Delta2 schedule with frozen-prefix weight loading from the
+  previous block's best (`*_Opt_Weight_End{start}.txt`);
+* per-epoch: train steps (epoch 0 = evaluation of the initialization only),
+  weight-file dump, best-on-valid snapshot by the configured metric, perf
+  log, eta / learning-rate step decay;
+* data sources: fresh AWGN SNR-mix batches (sampling_type 0) or harvested
+  uncorrected-word datasets (sampling_type 1, `main_Post.py` path);
+* optional test-set evaluation for the post-decoder flow.
+
+Differences from the reference (deliberate):
+* channel sampling runs on-device inside jit, not host NumPy;
+* the decode graph is a scan, so block changes don't rebuild Python graphs —
+  only the (cached) XLA program for the new depth;
+* `init_from_file` transfer learning reads weight rows aligned per
+  iteration (the reference's sequential row counter misaligns rows when
+  combined with a frozen prefix — `Main_Functions.py:418-426`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_error_floor_tpu.channel.awgn import AWGNChannel, mix_sigma_lanes
+from ldpc_error_floor_tpu.codes import Code, TannerGraph, get_code
+from ldpc_error_floor_tpu.io.perflog import PerfLog
+from ldpc_error_floor_tpu.io.uncor_files import read_uncor_file
+from ldpc_error_floor_tpu.io.weight_files import (read_weight_file,
+                                                  write_weight_file)
+from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder, WeightSpec,
+                                         init_weights, load_params,
+                                         params_from_blocks, params_to_blocks,
+                                         partial_update_from_blocks)
+from ldpc_error_floor_tpu.pipelines.config import (ExperimentConfig,
+                                                   SAMPLING_AWGN,
+                                                   SAMPLING_COLLECT,
+                                                   SAMPLING_READ_UNCOR)
+from ldpc_error_floor_tpu.pipelines.evaluate import Evaluator
+from ldpc_error_floor_tpu.training.schedule import training_blocks
+from ldpc_error_floor_tpu.training.train import (make_optimizer,
+                                                 make_train_step,
+                                                 set_learning_rate)
+
+
+@dataclass
+class TrainResult:
+    params: dict
+    spec: WeightSpec
+    best_metric: float
+    history: List[dict] = field(default_factory=list)
+
+
+def _load_code(cfg: ExperimentConfig) -> Code:
+    return get_code(cfg.code, z=cfg.z, punct=cfg.punct, short=cfg.short)
+
+
+def _load_uncor_data(cfg: ExperimentConfig):
+    """process_data parity (`Main_Functions.py:526-576`)."""
+    base = os.path.join(cfg.input_dir, f"[Uncor]_{cfg.code}")
+    train = read_uncor_file(base + ".txt", max_rows=cfg.training_num)
+    valid = (read_uncor_file(base + "_Valid.txt", max_rows=cfg.valid_num)
+             if cfg.valid_flag else None)
+    test = (read_uncor_file(base + "_Test.txt", max_rows=cfg.test_num)
+            if cfg.test_flag else None)
+    return train, valid, test
+
+
+def _opt_metric_value(results: np.ndarray, opt_metric: int) -> float:
+    """Sum over SNRs of the selected metric row (`compute_opt_value`,
+    `Print_Functions.py:167-181`)."""
+    return float(results[opt_metric].sum())
+
+
+def run_training(cfg: ExperimentConfig, verbose: bool = True,
+                 eval_batch: Optional[int] = None) -> TrainResult:
+    cfg = cfg.validate()
+    code = _load_code(cfg)
+    graph = TannerGraph(code)
+    target_node = (code.N - code.M) if cfg.systematic else 0
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    prefix = os.path.join(cfg.out_dir, cfg.out_prefix)
+    log = PerfLog(prefix + "_Performance.txt", echo=verbose)
+    log.header(cfg)
+
+    channel = AWGNChannel(code, decoding_type=cfg.decoding_type,
+                          q_bit=cfg.q_bit, clip_llr=cfg.clip_llr)
+    snr_sigmas = code.snr_sigmas(cfg.snrs)
+    train_sigmas = jnp.asarray(mix_sigma_lanes(snr_sigmas, cfg.batch_size))
+
+    data_train = data_valid = data_test = None
+    if cfg.sampling_type == SAMPLING_READ_UNCOR:
+        data_train, data_valid, data_test = _load_uncor_data(cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    result: Optional[TrainResult] = None
+
+    for start, end in training_blocks(cfg.iters_max, cfg.fixed_iter,
+                                      cfg.iter_step):
+        spec = WeightSpec(sharing=cfg.sharing, n_iters=end,
+                          fixed_iter=cfg.fixed_iter,
+                          min_w=cfg.min_weight, max_w=cfg.max_weight)
+        key, sub = jax.random.split(key)
+        params = init_weights(spec, graph, cfg.init_weight, cfg.init_vn_weight,
+                              key=sub)
+        if cfg.init_from_file:
+            in_file = f"{prefix}_In_Weight_End{cfg.iters_max}.txt"
+            sharing_f, blocks = read_weight_file(in_file)
+            if tuple(sharing_f) != tuple(cfg.sharing):
+                raise ValueError(f"{in_file}: sharing mismatch")
+            params = params_from_blocks(spec, blocks, graph)
+        if start > 0:
+            frozen_file = f"{prefix}_Opt_Weight_End{start}.txt"
+            _, blocks = read_weight_file(frozen_file)
+            params = partial_update_from_blocks(spec, params, blocks, start,
+                                                graph)
+
+        dcfg = DecoderConfig(decoding_type=cfg.decoding_type, q_bit=cfg.q_bit,
+                             clip_llr=cfg.clip_llr, target_node=target_node,
+                             remat=True)
+        decoder = NMSDecoder(code, dcfg, spec, graph=graph)
+        optimizer = make_optimizer(cfg.learn_rate_start)
+        opt_state = optimizer.init(params)
+        train_step = make_train_step(decoder, spec, cfg.loss_type, start, end,
+                                     cfg.fixed_init, optimizer=optimizer)
+        t_lo = max(start - cfg.fixed_init, cfg.fixed_iter)
+        evaluator = Evaluator(decoder, channel, cfg.loss_type, t_lo=t_lo,
+                              batch=eval_batch or cfg.batch_size)
+        nbits = decoder.target * code.z
+        labels = jnp.zeros((nbits, cfg.batch_size), jnp.float32)
+
+        @jax.jit
+        def sample_batch(k):
+            return channel.sample(k, train_sigmas)
+
+        etha_curr = cfg.etha_start
+        lr_curr = cfg.learn_rate_start
+        opt_valid = opt_test = 1e5
+        best_metric = 1e5
+        history: List[dict] = []
+        n_train_batches = cfg.training_num // cfg.batch_size
+
+        for epoch in range(cfg.epochs + 1):
+            t0 = time.perf_counter()
+            avg_loss = 0.0
+            if epoch > 0 and cfg.sampling_type != SAMPLING_COLLECT:
+                set_learning_rate(opt_state, lr_curr)
+                for bi in range(n_train_batches):
+                    if cfg.sampling_type == SAMPLING_AWGN:
+                        key, sub = jax.random.split(key)
+                        llr = sample_batch(sub)
+                    else:
+                        rows = data_train[bi * cfg.batch_size:
+                                          (bi + 1) * cfg.batch_size]
+                        llr = jnp.asarray(rows.T)
+                    state, loss = train_step(params, opt_state, llr, labels,
+                                             jnp.float32(etha_curr))
+                    params, opt_state = state.params, state.opt_state
+                    avg_loss += float(loss) / n_train_batches
+            t_train = time.perf_counter() - t0
+
+            # dump weights + train log
+            write_weight_file(f"{prefix}_Weight_End{end}.txt", cfg.sharing,
+                              params_to_blocks(spec, params))
+            log.train_result(epoch, cfg.epochs, start, end, avg_loss)
+
+            # validation
+            t_valid = t_test = 0.0
+            if cfg.valid_flag:
+                key, sub = jax.random.split(key)
+                results, t_valid = evaluator.run(
+                    params, snr_sigmas, cfg.valid_num, etha_curr, key=sub,
+                    data=data_valid)
+                metric = _opt_metric_value(results, cfg.opt_metric)
+                improved = metric < opt_valid
+                if improved:
+                    opt_valid = metric
+                    shutil.copyfile(f"{prefix}_Weight_End{end}.txt",
+                                    f"{prefix}_Opt_Weight_End{end}.txt")
+                best_metric = opt_valid
+                log.eval_result("Valid", results, opt_valid)
+                history.append({"epoch": epoch, "block": (start, end),
+                                "train_loss": avg_loss,
+                                "valid": results.tolist(),
+                                "metric": metric, "improved": improved})
+
+            if (cfg.sampling_type == SAMPLING_READ_UNCOR and cfg.test_flag
+                    and data_test is not None):
+                key, sub = jax.random.split(key)
+                results_t, t_test = evaluator.run(
+                    params, snr_sigmas, cfg.test_num, etha_curr, key=sub,
+                    data=data_test)
+                opt_test = min(opt_test,
+                               _opt_metric_value(results_t, cfg.opt_metric))
+                log.eval_result("Test", results_t, opt_test)
+
+            log.timing(t_train, t_valid, t_test)
+
+            # step decays (main_Base.py:191-195)
+            if cfg.etha_discount and cfg.etha_discount_step and \
+                    (epoch + 1) % cfg.etha_discount_step == 0:
+                etha_curr *= cfg.etha_discount
+            if cfg.learn_rate_discount and cfg.learn_rate_step and \
+                    (epoch + 1) % cfg.learn_rate_step == 0:
+                lr_curr *= cfg.learn_rate_discount
+
+        # ensure an Opt file exists even without validation
+        if not cfg.valid_flag:
+            shutil.copyfile(f"{prefix}_Weight_End{end}.txt",
+                            f"{prefix}_Opt_Weight_End{end}.txt")
+        result = TrainResult(params=params, spec=spec, best_metric=best_metric,
+                             history=history)
+
+    return result

@@ -28,8 +28,8 @@ from typing import Callable, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
 
 from ldpc_error_floor_tpu.channel.awgn import AWGNChannel
 from ldpc_error_floor_tpu.models.nms import NMSDecoder
@@ -112,6 +112,7 @@ class FERSimulator:
             sharded_body, mesh=self.mesh,
             in_specs=(P(), P(), P()),
             out_specs=(P(), P(), P()),
+            check_vma=False,  # scan carries start unvarying (zeros)
         )
         return jax.jit(smapped)
 

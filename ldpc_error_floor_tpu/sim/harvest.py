@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ldpc_error_floor_tpu.channel.awgn import AWGNChannel
 from ldpc_error_floor_tpu.io.uncor_files import append_uncor_file
@@ -55,7 +55,8 @@ class UncorHarvester:
 
             self._step = jax.jit(shard_map(
                 sharded, mesh=mesh, in_specs=(P(), P(), P()),
-                out_specs=(P(data_axis), P(None, data_axis))))
+                out_specs=(P(data_axis), P(None, data_axis)),
+                check_vma=False))
 
     def collect(self, params: Params, snr_db: float, key: jax.Array,
                 target_words: int, max_frames: int = 1_000_000_000,

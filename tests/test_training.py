@@ -1,0 +1,113 @@
+"""Training-step tests: loss decreases, block masks freeze rows, constraints
+hold."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_error_floor_tpu.channel import AWGNChannel, mix_sigma_lanes
+from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder, WeightSpec,
+                                         init_weights)
+from ldpc_error_floor_tpu.training.train import (make_optimizer,
+                                                 make_train_step)
+
+
+def _setup(n_iters=4, sharing=(3, 0, 3), fixed_iter=0, code="MACKAY_N96_K48"):
+    c = get_code(code)
+    graph = TannerGraph(c)
+    spec = WeightSpec(sharing=sharing, n_iters=n_iters, fixed_iter=fixed_iter)
+    dec = NMSDecoder(c, DecoderConfig(decoding_type=1, remat=True), spec,
+                     graph=graph)
+    ch = AWGNChannel(c, decoding_type=1)
+    return c, graph, spec, dec, ch
+
+
+def test_loss_decreases_on_mackay():
+    code, graph, spec, dec, ch = _setup()
+    params = init_weights(spec, graph)
+    opt = make_optimizer(5e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(dec, spec, loss_type=0, train_start=0, train_end=4,
+                           optimizer=opt, donate=False)
+    sig = jnp.asarray(mix_sigma_lanes(code.snr_sigmas([2.0, 3.0]), 64))
+    labels = jnp.zeros((code.n_full, 64), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        llr = ch.sample(sub, sig)
+        (params, opt_state), loss = step(params, opt_state, llr, labels,
+                                         jnp.float32(0.0))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    # weights moved but respect the [0, 2] box constraint
+    for k in ("cn", "vn"):
+        arr = np.asarray(params[k])
+        assert not np.allclose(arr, 1.0)
+        assert arr.min() >= 0.0 and arr.max() <= 2.0
+
+
+def test_block_mask_freezes_prefix_rows():
+    code, graph, spec, dec, ch = _setup(n_iters=6)
+    params = init_weights(spec, graph)
+    opt = make_optimizer(1e-2)
+    opt_state = opt.init(params)
+    # train only block [4, 6) — rows 0..3 must not move
+    step = make_train_step(dec, spec, loss_type=1, train_start=4, train_end=6,
+                           optimizer=opt, donate=False)
+    sig = jnp.asarray(mix_sigma_lanes(code.snr_sigmas([2.0]), 32))
+    labels = jnp.zeros((code.n_full, 32), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    before = {k: np.asarray(v) for k, v in params.items() if v is not None}
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        (params, opt_state), _ = step(params, opt_state, ch.sample(sub, sig),
+                                      labels, jnp.float32(0.0))
+    for k in ("cn", "vn"):
+        after = np.asarray(params[k])
+        np.testing.assert_array_equal(after[:4], before[k][:4])
+        assert not np.allclose(after[4:6], before[k][4:6])
+
+
+def test_fixed_init_retrains_overlap():
+    """Delta2: training block [4, 6) with fixed_init=2 also updates rows 2-3."""
+    code, graph, spec, dec, ch = _setup(n_iters=6)
+    params = init_weights(spec, graph)
+    opt = make_optimizer(1e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(dec, spec, loss_type=1, train_start=4, train_end=6,
+                           fixed_init=2, optimizer=opt, donate=False)
+    sig = jnp.asarray(mix_sigma_lanes(code.snr_sigmas([2.0]), 32))
+    labels = jnp.zeros((code.n_full, 32), jnp.float32)
+    key = jax.random.PRNGKey(2)
+    before = np.asarray(params["cn"])
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        (params, opt_state), _ = step(params, opt_state, ch.sample(sub, sig),
+                                      labels, jnp.float32(0.0))
+    after = np.asarray(params["cn"])
+    np.testing.assert_array_equal(after[:2], before[:2])
+    assert not np.allclose(after[2:6], before[2:6])
+
+
+def test_temporal_sharing_trains_single_row():
+    code, graph, spec, dec, ch = _setup(n_iters=4, sharing=(4, 0, 0),
+                                        fixed_iter=1)
+    params = init_weights(spec, graph)
+    assert params["cn"].shape == (2, graph.E)
+    opt = make_optimizer(1e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(dec, spec, loss_type=1, train_start=1, train_end=4,
+                           optimizer=opt, donate=False)
+    sig = jnp.asarray(mix_sigma_lanes(code.snr_sigmas([2.0]), 32))
+    labels = jnp.zeros((code.n_full, 32), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    before = np.asarray(params["cn"])
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        (params, opt_state), _ = step(params, opt_state, ch.sample(sub, sig),
+                                      labels, jnp.float32(0.0))
+    after = np.asarray(params["cn"])
+    np.testing.assert_array_equal(after[0], before[0])  # below pivot: frozen
+    assert not np.allclose(after[1], before[1])         # shared row trains
