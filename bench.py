@@ -50,14 +50,17 @@ def main():
     graph = TannerGraph(code)
     T = 20
     spec = WeightSpec(sharing=(3, 0, 3), n_iters=T)
-    decoder = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5), spec,
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "xla"
+    decoder = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5,
+                                             backend=backend), spec,
                          graph=graph)
     channel = AWGNChannel(code, decoding_type=2, q_bit=5)
     params = init_weights(spec, graph)
     sigma = jnp.float32(code.snr_sigmas([3.5])[0])
     key = jax.random.PRNGKey(0)
 
-    # --- ours: fused sample + decode + counters ---
+    # --- ours: fused sample + decode + counters (Pallas kernel on TPU) ---
     def make_step(batch):
         def step(params, key, sigma):
             llr = channel.sample(key, jnp.full((batch,), sigma, jnp.float32))
@@ -67,14 +70,16 @@ def main():
         return jax.jit(step)
 
     best = (0.0, 0)
-    for batch in (2048, 8192, 32768):
+    batches = (8192, 32768, 131072) if on_tpu else (2048, 8192)
+    for batch in batches:
         try:
             dt = time_step(make_step(batch), (params, key, sigma))
         except Exception as e:  # OOM etc.
             log(f"ours batch {batch}: failed ({type(e).__name__})")
             continue
         rate = batch / dt
-        log(f"ours batch {batch}: {rate:,.0f} codewords/s ({dt*1e3:.2f} ms/step)")
+        log(f"ours[{backend}] batch {batch}: {rate:,.0f} codewords/s "
+            f"({dt*1e3:.2f} ms/step)")
         if rate > best[0]:
             best = (rate, batch)
     ours, ours_batch = best

@@ -58,10 +58,17 @@ class DecoderConfig:
     #                        proto columns (systematic option, main_Base.py:29)
     remat: bool = False  # checkpoint each scan step (for deep training runs)
     track_syndrome: bool = False  # also emit per-iteration syndrome-satisfied flags
+    backend: str = "xla"  # "xla" (lax.scan, differentiable) or "pallas" (fused
+    #                        VMEM-resident kernel for collect='stats', fwd-only)
+    pallas_tb: int = 256  # batch lanes per Pallas kernel tile
 
     def __post_init__(self):
         if self.decoding_type not in (SP, MS, QMS, MS_RAW):
             raise ValueError(f"bad decoding_type {self.decoding_type}")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"bad backend {self.backend!r}")
+        if self.backend == "pallas" and self.track_syndrome:
+            raise ValueError("track_syndrome requires the xla backend")
 
 
 class DecodeResult(NamedTuple):
@@ -124,6 +131,7 @@ class NMSDecoder:
         self._vn_in = jnp.asarray(g.vn_in_idx)
         self._cn_vn = jnp.asarray(g.cn_vn_idx)
         self._cn_edge_idx = jnp.asarray(g.cn_slot_edge_idx)
+        self._fused = None  # lazily-built Pallas kernel (backend='pallas')
         self._decode_jit = jax.jit(self._decode_impl,
                                    static_argnames=("collect",))
 
@@ -176,6 +184,17 @@ class NMSDecoder:
                      llr: jnp.ndarray, labels: jnp.ndarray,
                      collect: str) -> DecodeResult:
         cfg, spec = self.cfg, self.spec
+        if cfg.backend == "pallas" and collect in ("stats", "app_last"):
+            # fused VMEM-resident kernel; stats are vs the all-zero codeword
+            # (the only case the Monte-Carlo engine / harvester exercise)
+            from ldpc_error_floor_tpu.ops.pallas_decoder import FusedNMSKernel
+            if self._fused is None:
+                self._fused = FusedNMSKernel(self.graph, cfg, spec,
+                                             tb=cfg.pallas_tb)
+            app, err, nerr = self._fused.decode_stats(stacked, llr)
+            if collect == "app_last":
+                return DecodeResult(app, None, None, None, None)
+            return DecodeResult(app, err, nerr, None, None)
         N, M, z, Dv, Dc = self.N, self.M, self.z, self.Dv, self.Dc
         B = llr.shape[-1]
         T = spec.n_iters

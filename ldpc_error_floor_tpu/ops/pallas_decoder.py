@@ -1,0 +1,394 @@
+"""Fused Pallas TPU kernel for the NMS decoder's simulation/inference path.
+
+Motivation: the `lax.scan` decoder (models/nms.py) streams [N*Dv*z, B]-sized
+message tensors through HBM on every decoding iteration — at batch 2048 the
+whole 20-iteration decode moves ~100x more HBM bytes than the channel LLRs
+themselves.  This kernel holds the complete decoder state (C->V messages,
+channel LLRs, previous APP) in VMEM for the full iteration loop, so HBM
+traffic is one read of the LLR block and one write of the APP/stat blocks
+per batch tile: the decode becomes VPU-bound instead of HBM-bound.
+
+Mapping of the Tanner graph onto the TPU (no gathers, no dense lifts):
+
+* the Monte-Carlo batch is the lane dimension (tiles are [zp, TB] with
+  zp = z rounded up to the 8-sublane boundary, TB batch lanes);
+* each proto edge e owns one [zp, TB] tile of C->V message state in VMEM;
+* circulant lifting is a *static* sublane rotation of each edge tile by its
+  shift (reference `Lift_Matrix1/2`, `Main_Functions.py:56-77`, were dense
+  [E*z, E*z] one-hot matmuls);
+* check/variable updates are static Python loops over the proto graph,
+  unrolled into straight-line VPU code inside a `fori_loop` over iterations;
+* the check-node extrinsic min uses the classic min1/min2 running reduction
+  (the hardware formulation) instead of the reference's O(E^2) tile-mask
+  trick (`Main_Functions.py:231-254`).
+
+Semantics are identical to `NMSDecoder._decode_impl` with
+``collect='stats'`` and all-zero labels (the only case the Monte-Carlo
+engine and harvester use): MS / QMS / MS_RAW / SP decoding, all weight
+sharing modes, UCN detection, systematic target restriction, and the
+reference's zero-message epsilon handling (`Main_Functions.py:229-250`).
+The kernel is forward-only — training takes gradients through the scan
+decoder instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldpc_error_floor_tpu.codes.graph import TannerGraph
+from ldpc_error_floor_tpu.models.nms import (MS, MS_RAW, QMS, SP, DecoderConfig,
+                                             _EPS_MSG, _PAD_MAG)
+from ldpc_error_floor_tpu.models.weights import WeightSpec
+from ldpc_error_floor_tpu.ops.ste import qms_grid
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class FusedNMSKernel:
+    """Code-generated fused decode kernel for one (graph, config, spec).
+
+    ``decode_stats(stacked, llr)`` returns ``(app_last [N*z, B],
+    err_flags [T, B] bool, bit_errors [T, B] int32)`` — per-iteration
+    frame-wrong flags and bit-error counts against the all-zero codeword,
+    matching `NMSDecoder.decode(collect='stats')`.
+    """
+
+    def __init__(self, graph: TannerGraph, cfg: DecoderConfig, spec: WeightSpec,
+                 tb: int = 256, interpret: Optional[bool] = None):
+        if cfg.decoding_type not in (SP, MS, QMS, MS_RAW):
+            raise ValueError(f"bad decoding_type {cfg.decoding_type}")
+        self.graph = graph
+        self.cfg = cfg
+        self.spec = spec
+        self.tb = tb
+        code = graph.code
+        self.N, self.M, self.z = code.N, code.M, code.z
+        self.zp = _round_up(self.z, 8)
+        self.T = spec.n_iters
+        self.target = cfg.target_node if cfg.target_node > 0 else self.N
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        # static graph tables
+        self.edge_cn = [int(v) for v in graph.edge_cn]
+        self.edge_vn = [int(v) for v in graph.edge_vn]
+        self.edge_shift = [int(v) % self.z for v in graph.edge_shift]
+        self.cn_order = [int(v) for v in graph.cn_order_of_edge]
+        self.E = graph.E
+        self.vn_edges = [[] for _ in range(self.N)]
+        for e in range(self.E):
+            self.vn_edges[self.edge_vn[e]].append(e)
+        self.cn_edges = [[] for _ in range(self.M)]
+        for e in graph.edge_of_cn_order:  # row-major: slot order per check
+            self.cn_edges[self.edge_cn[e]].append(int(e))
+
+    # ----- kernel building blocks ------------------------------------------------
+
+    def _roll(self, tile, s: int):
+        """Rotate the first z sublanes of a [zp, TB] tile by -s (check-side
+        slot h reads variable-side slot (h+s) mod z); pad rows don't matter."""
+        z, zp = self.z, self.zp
+        s = s % z if z else 0
+        if s == 0 or z == 1:
+            return tile
+        parts = [tile[s:z], tile[0:s]]
+        if zp > z:
+            parts.append(tile[z:zp])
+        return jnp.concatenate(parts, axis=0)
+
+    def _unroll(self, tile, s: int):
+        """Inverse rotation (variable-side slot g reads check-side (g-s) mod z)."""
+        return self._roll(tile, (-s) % self.z if self.z else 0)
+
+    def _quantize(self, x):
+        step, clip = qms_grid(self.cfg.q_bit)
+        return jnp.clip(jnp.round(x * (1.0 / step)) * step, -clip, clip)
+
+    def _mag_clip(self, x):
+        if self.cfg.decoding_type == QMS:
+            return self._quantize(x)
+        return jnp.clip(x, -self.cfg.clip_llr, self.cfg.clip_llr)
+
+    # ----- the kernel -------------------------------------------------------------
+
+    def _kernel(self, *refs):
+        cfg, spec = self.cfg, self.spec
+        N, M, z, zp, E, T = self.N, self.M, self.z, self.zp, self.E, self.T
+        TB = self.tb
+        cn_mode, ucn_mode, vn_mode = spec.sharing
+        ucn = spec.ucn_enabled
+
+        it = iter(refs)
+        llr_ref = next(it)
+        w_cn_ref = next(it) if cn_mode > 0 else None
+        w_ucn_ref = next(it) if ucn else None
+        w_vn_ref = next(it) if vn_mode > 0 else None
+        app_out = next(it)
+        err_out = next(it)
+        nerr_out = next(it)
+        c2v_scr = next(it)
+        app_scr = next(it) if ucn else None
+
+        sp = cfg.decoding_type == SP
+        qms = cfg.decoding_type == QMS
+        nudge = cfg.decoding_type in (MS, QMS)
+
+        # valid-row mask (pad sublanes excluded from reductions)
+        if zp > z:
+            row = jax.lax.broadcasted_iota(jnp.int32, (zp, TB), 0)
+            valid = (row < z).astype(jnp.float32)
+        else:
+            valid = None
+
+        c2v_scr[...] = jnp.zeros((E, zp, TB), jnp.float32)
+        if ucn:
+            app_scr[...] = jnp.zeros((N, zp, TB), jnp.float32)
+
+        def llr_tile(j):
+            return llr_ref[j * zp:(j + 1) * zp, :]
+
+        def body(t, _):
+            # (1) weighted (and quantized) channel input — reference 164-177
+            llr_w = []
+            for j in range(N):
+                x = llr_tile(j)
+                if vn_mode > 0:
+                    wv = w_vn_ref[t, j] if vn_mode in (2, 5) else w_vn_ref[t, 0]
+                    x = x * wv
+                if qms and vn_mode > 0:
+                    x = self._quantize(x)
+                llr_w.append(x)
+
+            # (2) UCN detection from the previous APP — reference 180-209
+            if ucn:
+                is0 = (t == 0)
+                pm = []  # per-bit parity +-1 tiles
+                for j in range(N):
+                    src = jnp.where(is0, llr_w[j], app_scr[j])
+                    pm.append(1.0 - 2.0 * (src >= 0.0).astype(jnp.float32))
+                u_mask = []
+                for i in range(M):
+                    prod = None
+                    for e in self.cn_edges[i]:
+                        pe = self._roll(pm[self.edge_vn[e]], self.edge_shift[e])
+                        prod = pe if prod is None else prod * pe
+                    u_mask.append((prod < 0.0).astype(jnp.float32))
+
+            # (3) VN update: channel + extrinsic C->V sums — reference 212-230
+            xc: Dict[int, jnp.ndarray] = {}
+            for j in range(N):
+                s_j = None
+                for e in self.vn_edges[j]:
+                    c = c2v_scr[e]
+                    s_j = c if s_j is None else s_j + c
+                tot = llr_w[j] if s_j is None else llr_w[j] + s_j
+                for e in self.vn_edges[j]:
+                    v = tot - c2v_scr[e]
+                    v = self._mag_clip(v)
+                    if nudge:
+                        v = jnp.where(v == 0.0, _EPS_MSG, v)
+                    # (4) route to check alignment (circulant shift)
+                    xc[e] = self._roll(v, self.edge_shift[e])
+
+            # (5) CN update + (6) neural weighting — reference 231-316
+            c2v_new: Dict[int, jnp.ndarray] = {}
+            for i in range(M):
+                edges = self.cn_edges[i]
+                if sp:
+                    tt = [jnp.where(v == 0.0, 1.0, v) for v in
+                          (jnp.tanh(-0.5 * xc[e]) for e in edges)]
+                    deg = len(edges)
+                    fwd = [None] * deg  # product of tt[:k]
+                    bwd = [None] * deg  # product of tt[k+1:]
+                    acc = None
+                    for k in range(deg):
+                        fwd[k] = acc
+                        acc = tt[k] if acc is None else acc * tt[k]
+                    acc = None
+                    for k in range(deg - 1, -1, -1):
+                        bwd[k] = acc
+                        acc = tt[k] if acc is None else tt[k] * acc
+                    for k, e in enumerate(edges):
+                        if fwd[k] is None:
+                            p = bwd[k] if bwd[k] is not None \
+                                else jnp.ones_like(tt[k])
+                        elif bwd[k] is None:
+                            p = fwd[k]
+                        else:
+                            p = fwd[k] * bwd[k]
+                        p = jnp.clip(p, -1.0 + 1e-7, 1.0 - 1e-7)
+                        out = -2.0 * jnp.arctanh(p)
+                        c2v_new[e] = self._weight_edge(
+                            t, i, e, jnp.abs(out), jnp.sign(out),
+                            w_cn_ref, w_ucn_ref,
+                            u_mask[i] if ucn else None)
+                else:
+                    m1 = m2 = None
+                    sgn_tot = None
+                    mags, sgns = {}, {}
+                    for e in edges:
+                        x = xc[e]
+                        a = jnp.where(x == 0.0, _PAD_MAG, jnp.abs(x))
+                        s_ = jnp.where(x > 0.0, -1.0, 1.0)
+                        mags[e], sgns[e] = a, s_
+                        if m1 is None:
+                            m1, m2 = a, jnp.full_like(a, _PAD_MAG)
+                            sgn_tot = s_
+                        else:
+                            m2 = jnp.minimum(m2, jnp.maximum(m1, a))
+                            m1 = jnp.minimum(m1, a)
+                            sgn_tot = sgn_tot * s_
+                    for e in edges:
+                        mag = jnp.where(mags[e] == m1, m2, m1)
+                        mag = jnp.where(jnp.abs(mag) <= _EPS_MSG,
+                                        mag - _EPS_MSG, mag)
+                        out_sgn = -(sgn_tot * sgns[e])
+                        c2v_new[e] = self._weight_edge(
+                            t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref,
+                            u_mask[i] if ucn else None)
+
+            # (7) route back + store; (8) APP + stats — reference 317-335
+            nerr_tot = None
+            wrong_any = None
+            for j in range(N):
+                app_j = None
+                for e in self.vn_edges[j]:
+                    c = self._unroll(c2v_new[e], self.edge_shift[e])
+                    c2v_scr[e] = c
+                    app_j = c if app_j is None else app_j + c
+                base = llr_tile(j)
+                if qms:
+                    base = self._quantize(base)
+                app_j = base if app_j is None else base + app_j
+                app_j = jnp.clip(app_j, -cfg.clip_llr, cfg.clip_llr)
+                if ucn:
+                    app_scr[j] = app_j
+                app_out[j * zp:(j + 1) * zp, :] = app_j
+                if j < self.target:
+                    wrong = (app_j >= 0.0).astype(jnp.float32)
+                    if valid is not None:
+                        wrong = wrong * valid
+                    ne = jnp.sum(wrong, axis=0, keepdims=True)  # [1, TB]
+                    nerr_tot = ne if nerr_tot is None else nerr_tot + ne
+            wrong_any = (nerr_tot > 0.0).astype(jnp.float32)
+            err_out[pl.ds(t, 1), :] = wrong_any
+            nerr_out[pl.ds(t, 1), :] = nerr_tot
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+
+    def _weight_edge(self, t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref, u_i):
+        """Apply CN/UCN weighting + ReLU + clip/quantize + sign re-attach
+        to one edge's extrinsic magnitude (reference 267-316)."""
+        cn_mode = self.spec.sharing[0]
+        if cn_mode > 0:
+            w = self._read_cn_w(w_cn_ref, t, i, e, cn_mode)
+            if u_i is not None:
+                wu = self._read_cn_w(w_ucn_ref, t, i, e, self.spec.sharing[1])
+                w = w * (1.0 - u_i) + wu * u_i
+            wmag = mag * w
+        else:
+            wmag = mag
+        wmag = wmag * (wmag > 0.0).astype(jnp.float32)
+        wmag = self._mag_clip(wmag)
+        return wmag * jnp.sign(out_sgn) if self.cfg.decoding_type == SP \
+            else wmag * out_sgn
+
+    def _read_cn_w(self, ref, t, i, e, mode):
+        if mode in (1, 4):      # per-edge, CN-order enumeration
+            return ref[t, self.cn_order[e]]
+        if mode in (2, 5):      # per check node
+            return ref[t, i]
+        return ref[t, 0]        # per-iteration scalar
+
+    # ----- host-side wrapper ------------------------------------------------------
+
+    @functools.cached_property
+    def _call(self):
+        N, zp, TB = self.N, self.zp, self.tb
+        Tp = _round_up(self.T, 8)  # stat rows padded to the sublane boundary
+        spec = self.spec
+        cn_mode, _, vn_mode = spec.sharing
+
+        in_specs = [pl.BlockSpec((N * zp, TB), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM)]
+        w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        if cn_mode > 0:
+            in_specs.append(w_spec)
+        if spec.ucn_enabled:
+            in_specs.append(w_spec)
+        if vn_mode > 0:
+            in_specs.append(w_spec)
+
+        out_specs = [
+            pl.BlockSpec((N * zp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ]
+        scratch = [pltpu.VMEM((self.E, zp, TB), jnp.float32)]
+        if spec.ucn_enabled:
+            scratch.append(pltpu.VMEM((N, zp, TB), jnp.float32))
+
+        flops_per_block = self.T * self.E * zp * TB * 16
+        kernel = functools.partial(FusedNMSKernel._kernel, self)
+
+        def call(llr_pad, *weights):
+            B = llr_pad.shape[-1]
+            grid = (B // TB,)
+            out_shape = [
+                jax.ShapeDtypeStruct((N * zp, B), jnp.float32),  # app (padded z)
+                jax.ShapeDtypeStruct((Tp, B), jnp.float32),      # err flags
+                jax.ShapeDtypeStruct((Tp, B), jnp.float32),      # bit errors
+            ]
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_shape=out_shape,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                interpret=self.interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=flops_per_block * grid[0],
+                    bytes_accessed=llr_pad.size * 8,
+                    transcendentals=0),
+            )(llr_pad, *weights)
+
+        return call
+
+    def decode_stats(self, stacked: Dict[str, Optional[jnp.ndarray]],
+                     llr: jnp.ndarray):
+        """llr: [N*z, B] p1/p0 channel LLRs; B must be a multiple of `tb`.
+
+        Returns (app_last [N*z, B], err_flags [T, B] bool,
+        bit_errors [T, B] int32) vs the all-zero codeword.
+        """
+        N, z, zp = self.N, self.z, self.zp
+        B = llr.shape[-1]
+        if B % self.tb != 0:
+            raise ValueError(f"batch {B} not a multiple of kernel tile {self.tb}")
+        x = llr.reshape(N, z, B)
+        if zp > z:
+            x = jnp.pad(x, ((0, 0), (0, zp - z), (0, 0)),
+                        constant_values=-self.cfg.clip_llr)
+        x = x.reshape(N * zp, B)
+
+        weights = []
+        for kind, mode in zip(("cn", "ucn", "vn"), self.spec.sharing):
+            if kind == "ucn" and not self.spec.ucn_enabled:
+                continue
+            if mode > 0:
+                weights.append(stacked[kind])
+
+        app_pad, err, nerr = self._call(x, *weights)
+        app = app_pad.reshape(N, zp, B)[:, :z, :].reshape(N * z, B)
+        return app, err[:self.T] > 0.5, nerr[:self.T].astype(jnp.int32)

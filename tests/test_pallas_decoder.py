@@ -1,0 +1,86 @@
+"""Fused Pallas kernel vs the lax.scan decoder — must agree bit-for-bit on
+error flags / bit-error counts and to float tolerance on APPs.
+
+Runs in Pallas interpreter mode on the CPU test platform; the same kernel
+compiles natively on TPU (exercised by bench.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_error_floor_tpu.channel import AWGNChannel
+from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder, WeightSpec,
+                                         init_weights)
+from ldpc_error_floor_tpu.models.weights import stack_weights
+from ldpc_error_floor_tpu.ops.pallas_decoder import FusedNMSKernel
+
+
+def _random_params(spec, graph, key):
+    params = init_weights(spec, graph)
+    out = {}
+    for k, v in params.items():
+        if v is None:
+            out[k] = None
+        else:
+            key, sub = jax.random.split(key)
+            out[k] = 0.7 + 0.6 * jax.random.uniform(sub, v.shape)
+    return out
+
+
+CASES = [
+    # (code, sharing, decoding_type, q_bit, n_iters)
+    ("wman_N0576_R34_z24", (3, 0, 3), 2, 5, 6),     # QMS, scalar weights
+    ("wman_N0576_R34_z24", (3, 3, 3), 2, 5, 5),     # QMS + UCN
+    ("wman_N0576_R34_z24", (2, 2, 2), 1, 5, 4),     # MS, per-node + UCN
+    ("wman_N0576_R34_z24", (1, 0, 0), 1, 5, 3),     # MS, per-edge CN weights
+    ("MACKAY_N96_K48", (3, 0, 3), 2, 5, 4),         # z=1 code, zp padding
+    ("wman_N0576_R34_z24", (0, 0, 0), 0, 5, 3),     # plain sum-product
+]
+
+
+@pytest.mark.parametrize("code_name,sharing,dec,q,T", CASES)
+def test_fused_matches_scan(code_name, sharing, dec, q, T):
+    code = get_code(code_name)
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=sharing, n_iters=T)
+    cfg = DecoderConfig(decoding_type=dec, q_bit=q)
+    dec_scan = NMSDecoder(code, cfg, spec, graph=graph)
+    kern = FusedNMSKernel(graph, cfg, spec, tb=8, interpret=True)
+
+    key = jax.random.PRNGKey(42)
+    params = _random_params(spec, graph, key)
+    chan = AWGNChannel(code, decoding_type=dec, q_bit=q)
+    sigma = jnp.full((16,), float(code.snr_sigmas([2.5])[0]), jnp.float32)
+    llr = chan.sample(jax.random.PRNGKey(7), sigma)
+
+    ref = dec_scan.decode(params, llr, collect="stats")
+    app, err, nerr = kern.decode_stats(stack_weights(spec, params), llr)
+
+    np.testing.assert_allclose(np.asarray(app), np.asarray(ref.app_last),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(err), np.asarray(ref.err_flags))
+    np.testing.assert_array_equal(np.asarray(nerr), np.asarray(ref.bit_errors))
+
+
+def test_backend_config_routes_to_pallas():
+    code = get_code("wman_N0576_R34_z24")
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=(3, 0, 3), n_iters=4)
+    cfg_p = DecoderConfig(decoding_type=2, q_bit=5, backend="pallas",
+                          pallas_tb=8)
+    cfg_x = DecoderConfig(decoding_type=2, q_bit=5)
+    dp = NMSDecoder(code, cfg_p, spec, graph=graph)
+    dp._fused = FusedNMSKernel(graph, cfg_p, spec, tb=8, interpret=True)
+    dx = NMSDecoder(code, cfg_x, spec, graph=graph)
+    params = init_weights(spec, graph)
+    chan = AWGNChannel(code)
+    llr = chan.sample(jax.random.PRNGKey(3),
+                      jnp.full((8,), float(code.snr_sigmas([3.0])[0])))
+    rp = dp.decode(params, llr, collect="stats")
+    rx = dx.decode(params, llr, collect="stats")
+    np.testing.assert_array_equal(np.asarray(rp.err_flags),
+                                  np.asarray(rx.err_flags))
+    assert bool(jnp.all(rp.uncor_mask == rx.uncor_mask))
