@@ -61,6 +61,9 @@ class DecoderConfig:
     backend: str = "xla"  # "xla" (lax.scan, differentiable) or "pallas" (fused
     #                        VMEM-resident kernel for collect='stats', fwd-only)
     pallas_tb: int = 256  # batch lanes per Pallas kernel tile
+    pallas_early_stop: bool = False  # stop a tile once all lanes have decoded
+    #   correctly at least once; genie-FER/uncor exact, FER_last then refers
+    #   to the stop iteration (see ops/pallas_decoder.py)
 
     def __post_init__(self):
         if self.decoding_type not in (SP, MS, QMS, MS_RAW):
@@ -190,7 +193,8 @@ class NMSDecoder:
             from ldpc_error_floor_tpu.ops.pallas_decoder import FusedNMSKernel
             if self._fused is None:
                 self._fused = FusedNMSKernel(self.graph, cfg, spec,
-                                             tb=cfg.pallas_tb)
+                                             tb=cfg.pallas_tb,
+                                             early_stop=cfg.pallas_early_stop)
             app, err, nerr = self._fused.decode_stats(stacked, llr)
             if collect == "app_last":
                 return DecodeResult(app, None, None, None, None)

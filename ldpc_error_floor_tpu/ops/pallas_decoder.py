@@ -63,13 +63,20 @@ class FusedNMSKernel:
     """
 
     def __init__(self, graph: TannerGraph, cfg: DecoderConfig, spec: WeightSpec,
-                 tb: int = 256, interpret: Optional[bool] = None):
+                 tb: int = 256, interpret: Optional[bool] = None,
+                 early_stop: bool = False):
         if cfg.decoding_type not in (SP, MS, QMS, MS_RAW):
             raise ValueError(f"bad decoding_type {cfg.decoding_type}")
         self.graph = graph
         self.cfg = cfg
         self.spec = spec
         self.tb = tb
+        # Early stop: end the iteration loop for a batch tile once every lane
+        # has decoded correctly at least once.  Genie-FER / uncor masks are
+        # exact (skipped iterations count as correct, which they are by the
+        # genie definition); FER_last/BER_last then refer to the stop
+        # iteration rather than iteration T-1.
+        self.early_stop = early_stop
         code = graph.code
         self.N, self.M, self.z = code.N, code.M, code.z
         self.zp = _round_up(self.z, 8)
@@ -152,11 +159,15 @@ class FusedNMSKernel:
         c2v_scr[...] = jnp.zeros((E, zp, TB), jnp.float32)
         if ucn:
             app_scr[...] = jnp.zeros((N, zp, TB), jnp.float32)
+        if self.early_stop:
+            # skipped iterations must read as "decoded" in the stat outputs
+            err_out[...] = jnp.zeros_like(err_out)
+            nerr_out[...] = jnp.zeros_like(nerr_out)
 
         def llr_tile(j):
             return llr_ref[j * zp:(j + 1) * zp, :]
 
-        def body(t, _):
+        def body(t):
             # (1) weighted (and quantized) channel input — reference 164-177
             llr_w = []
             for j in range(N):
@@ -237,7 +248,11 @@ class FusedNMSKernel:
                     mags, sgns = {}, {}
                     for e in edges:
                         x = xc[e]
-                        a = jnp.where(x == 0.0, _PAD_MAG, jnp.abs(x))
+                        # the eps nudge guarantees x != 0 for MS/QMS, so the
+                        # reference's zero->sentinel guard is only needed
+                        # when the nudge is off (MS_RAW)
+                        a = jnp.abs(x) if nudge else \
+                            jnp.where(x == 0.0, _PAD_MAG, jnp.abs(x))
                         s_ = jnp.where(x > 0.0, -1.0, 1.0)
                         mags[e], sgns[e] = a, s_
                         if m1 is None:
@@ -282,9 +297,21 @@ class FusedNMSKernel:
             wrong_any = (nerr_tot > 0.0).astype(jnp.float32)
             err_out[pl.ds(t, 1), :] = wrong_any
             nerr_out[pl.ds(t, 1), :] = nerr_tot
-            return 0
+            return wrong_any
 
-        jax.lax.fori_loop(0, T, body, 0)
+        if self.early_stop:
+            def cond(carry):
+                t, still_wrong = carry
+                return jnp.logical_and(t < T, jnp.sum(still_wrong) > 0.0)
+
+            def wbody(carry):
+                t, still_wrong = carry
+                return t + 1, still_wrong * body(t)
+
+            jax.lax.while_loop(cond, wbody,
+                               (0, jnp.ones((1, TB), jnp.float32)))
+        else:
+            jax.lax.fori_loop(0, T, lambda t, c: (body(t), c)[1], 0)
 
     def _weight_edge(self, t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref, u_i):
         """Apply CN/UCN weighting + ReLU + clip/quantize + sign re-attach
@@ -298,7 +325,7 @@ class FusedNMSKernel:
             wmag = mag * w
         else:
             wmag = mag
-        wmag = wmag * (wmag > 0.0).astype(jnp.float32)
+        wmag = jnp.maximum(wmag, 0.0)
         wmag = self._mag_clip(wmag)
         return wmag * jnp.sign(out_sgn) if self.cfg.decoding_type == SP \
             else wmag * out_sgn

@@ -25,11 +25,15 @@ from ldpc_error_floor_tpu.sim.harvest import UncorHarvester
 def run_collection(cfg: ExperimentConfig, weight_file: Optional[str] = None,
                    target_words: int = 20000, batch: int = 4096,
                    out_file: str = "Uncor.txt", mesh=None,
-                   max_frames: int = 1_000_000_000) -> np.ndarray:
+                   max_frames: int = 1_000_000_000,
+                   backend: Optional[str] = None) -> np.ndarray:
     """Collect `target_words` uncorrected words at cfg.snrs[0].
 
     `weight_file` defaults to the trained base decoder's best snapshot
-    ({out_dir}/{prefix}_Opt_Weight_End{iters_max}.txt)."""
+    ({out_dir}/{prefix}_Opt_Weight_End{iters_max}.txt).  On TPU the fused
+    Pallas kernel with genie-exact early stopping is used by default — at
+    error-floor SNRs most tiles converge long before iters_max, which is
+    the regime harvesting lives in (~1e7 decodes per collected word)."""
     cfg = cfg.validate()
     if len(cfg.snrs) != 1:
         raise ValueError("collection runs at a single SNR")
@@ -42,8 +46,15 @@ def run_collection(cfg: ExperimentConfig, weight_file: Optional[str] = None,
         weight_file = os.path.join(
             cfg.out_dir, f"{cfg.out_prefix}_Opt_Weight_End{cfg.iters_max}.txt")
     params = load_params(spec, graph, weight_file)
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    local = batch // mesh.shape["data"] if mesh is not None else batch
+    tb = 256 if local % 256 == 0 else 128
+    if local % tb != 0:
+        backend = "xla"  # kernel tiles must divide the per-device batch
     dcfg = DecoderConfig(decoding_type=cfg.decoding_type, q_bit=cfg.q_bit,
-                         clip_llr=cfg.clip_llr)
+                         clip_llr=cfg.clip_llr, backend=backend,
+                         pallas_tb=tb, pallas_early_stop=(backend == "pallas"))
     decoder = NMSDecoder(code, dcfg, spec, graph=graph)
     channel = AWGNChannel(code, decoding_type=cfg.decoding_type,
                           q_bit=cfg.q_bit, clip_llr=cfg.clip_llr)

@@ -84,3 +84,25 @@ def test_backend_config_routes_to_pallas():
     np.testing.assert_array_equal(np.asarray(rp.err_flags),
                                   np.asarray(rx.err_flags))
     assert bool(jnp.all(rp.uncor_mask == rx.uncor_mask))
+
+
+def test_early_stop_genie_exact():
+    """Early stop must leave genie-FER/uncor identical to the full run."""
+    code = get_code("wman_N0576_R34_z24")
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=(3, 0, 3), n_iters=8)
+    cfg = DecoderConfig(decoding_type=2, q_bit=5)
+    kern_full = FusedNMSKernel(graph, cfg, spec, tb=8, interpret=True)
+    kern_es = FusedNMSKernel(graph, cfg, spec, tb=8, interpret=True,
+                             early_stop=True)
+    params = init_weights(spec, graph)
+    stacked = stack_weights(spec, params)
+    chan = AWGNChannel(code)
+    # moderate SNR: most frames decode early, some never do
+    llr = chan.sample(jax.random.PRNGKey(5),
+                      jnp.full((16,), float(code.snr_sigmas([2.5])[0])))
+    _, err_f, _ = kern_full.decode_stats(stacked, llr)
+    _, err_e, _ = kern_es.decode_stats(stacked, llr)
+    uncor_f = np.asarray(jnp.all(err_f, axis=0))
+    uncor_e = np.asarray(jnp.all(err_e, axis=0))
+    np.testing.assert_array_equal(uncor_f, uncor_e)
