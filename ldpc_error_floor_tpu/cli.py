@@ -80,8 +80,17 @@ def _cmd_simulate(args) -> int:
     graph = TannerGraph(code)
     spec = WeightSpec(sharing=tuple(args.sharing), n_iters=args.iters,
                       fixed_iter=args.fixed_iter)
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    tb = 256 if args.batch % 256 == 0 else 128
+    if args.batch % tb != 0:
+        backend = "xla"
     dec = NMSDecoder(code, DecoderConfig(decoding_type=args.decoding_type,
-                                         q_bit=args.q_bit), spec, graph=graph)
+                                         q_bit=args.q_bit, backend=backend,
+                                         pallas_tb=tb,
+                                         pallas_early_stop=args.early_stop),
+                     spec, graph=graph)
     if args.weights:
         params = load_params(spec, graph, args.weights)
     else:
@@ -148,6 +157,11 @@ def main(argv=None) -> int:
     pm.add_argument("--seed", type=int, default=0)
     pm.add_argument("--mesh", action="store_true",
                     help="shard the batch over all devices")
+    pm.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                    default="auto",
+                    help="decoder backend (auto: fused Pallas kernel on TPU)")
+    pm.add_argument("--early-stop", action="store_true", dest="early_stop",
+                    help="genie-exact early termination (Pallas backend)")
 
     args = p.parse_args(argv)
     return {"codes": _cmd_codes, "init-config": _cmd_init_config,

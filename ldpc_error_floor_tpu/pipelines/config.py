@@ -65,6 +65,10 @@ class ExperimentConfig:
     max_weight: float = 2.0
     min_weight: float = 0.0
 
+    # --- checkpoint/resume (no reference equivalent; SURVEY.md section 5) ---
+    checkpoint_every: int = 0   # epochs between full-state snapshots (0 = off)
+    resume: int = 0             # restore the latest snapshot if present
+
     # --- misc ---
     seed: int = 2
     snrs: List[float] = field(default_factory=lambda: [2.0, 2.5, 3.0, 3.5, 4.0])

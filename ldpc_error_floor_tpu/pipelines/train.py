@@ -150,7 +150,26 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         history: List[dict] = []
         n_train_batches = cfg.training_num // cfg.batch_size
 
-        for epoch in range(cfg.epochs + 1):
+        # full-state checkpoint/resume (beyond the reference's weight dumps)
+        first_epoch = 0
+        ckpt_dir = None
+        if cfg.checkpoint_every or cfg.resume:
+            from ldpc_error_floor_tpu.training.checkpoint import (
+                block_ckpt_dir, restore_train_state, save_train_state)
+            ckpt_dir = block_ckpt_dir(cfg.out_dir, cfg.out_prefix, start, end)
+        if cfg.resume and ckpt_dir is not None:
+            restored = restore_train_state(ckpt_dir, params, opt_state)
+            if restored is not None:
+                epoch_r, params, opt_state, key, extra = restored
+                first_epoch = epoch_r + 1
+                etha_curr = float(extra.get("etha", etha_curr))
+                lr_curr = float(extra.get("lr", lr_curr))
+                opt_valid = float(extra.get("opt_valid", opt_valid))
+                best_metric = opt_valid
+                if verbose:
+                    print(f"resumed block [{start},{end}) at epoch {first_epoch}")
+
+        for epoch in range(first_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()
             avg_loss = 0.0
             if epoch > 0 and cfg.sampling_type != SAMPLING_COLLECT:
@@ -213,6 +232,12 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
             if cfg.learn_rate_discount and cfg.learn_rate_step and \
                     (epoch + 1) % cfg.learn_rate_step == 0:
                 lr_curr *= cfg.learn_rate_discount
+
+            if (cfg.checkpoint_every and ckpt_dir is not None
+                    and epoch % cfg.checkpoint_every == 0):
+                save_train_state(ckpt_dir, epoch, params, opt_state, key,
+                                 extra={"etha": etha_curr, "lr": lr_curr,
+                                        "opt_valid": opt_valid})
 
         # ensure an Opt file exists even without validation
         if not cfg.valid_flag:
