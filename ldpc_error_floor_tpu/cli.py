@@ -31,6 +31,35 @@ def _cmd_codes(args) -> int:
     return 0
 
 
+def _cmd_weights(args) -> int:
+    from ldpc_error_floor_tpu.io.weight_files import (available_weight_sets,
+                                                      read_weight_json)
+    for name in available_weight_sets():
+        sharing, blocks = read_weight_json(name)
+        rows = next(len(v) for v in blocks.values() if v is not None)
+        print(f"{name}: sharing {sharing}, {rows} iterations")
+    return 0
+
+
+def _cmd_convert_weights(args) -> int:
+    """Convert between the reference text format and the JSON format (both
+    directions, by file extension)."""
+    from ldpc_error_floor_tpu.io.weight_files import (read_weight_file,
+                                                      read_weight_json,
+                                                      write_weight_file,
+                                                      write_weight_json)
+    if args.src.endswith(".json"):
+        sharing, blocks = read_weight_json(args.src)
+    else:
+        sharing, blocks = read_weight_file(args.src)
+    if args.out.endswith(".json"):
+        write_weight_json(args.out, sharing, blocks)
+    else:
+        write_weight_file(args.out, sharing, blocks)
+    print(f"converted {args.src} -> {args.out} (sharing {sharing})")
+    return 0
+
+
 def _cmd_init_config(args) -> int:
     from ldpc_error_floor_tpu.pipelines import base_config_wman, post_config_wman
     cfg = post_config_wman() if args.post else base_config_wman()
@@ -114,6 +143,12 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("codes", help="list bundled codes")
+    sub.add_parser("weights", help="list bundled trained weight sets")
+
+    pw = sub.add_parser("convert-weights",
+                        help="convert weight files text<->json by extension")
+    pw.add_argument("--src", required=True)
+    pw.add_argument("--out", required=True)
 
     pc = sub.add_parser("init-config", help="write a template config")
     pc.add_argument("--out", default="config.json")
@@ -164,7 +199,9 @@ def main(argv=None) -> int:
                     help="genie-exact early termination (Pallas backend)")
 
     args = p.parse_args(argv)
-    return {"codes": _cmd_codes, "init-config": _cmd_init_config,
+    return {"codes": _cmd_codes, "weights": _cmd_weights,
+            "convert-weights": _cmd_convert_weights,
+            "init-config": _cmd_init_config,
             "train": _cmd_train, "collect": _cmd_collect,
             "split-uncor": _cmd_split_uncor,
             "simulate": _cmd_simulate}[args.cmd](args)
