@@ -115,10 +115,12 @@ def _cmd_simulate(args) -> int:
     tb = 256 if args.batch % 256 == 0 else 128
     if args.batch % tb != 0:
         backend = "xla"
+    target = (code.N - code.M) if args.systematic else 0
     dec = NMSDecoder(code, DecoderConfig(decoding_type=args.decoding_type,
                                          q_bit=args.q_bit, backend=backend,
                                          pallas_tb=tb,
-                                         pallas_early_stop=args.early_stop),
+                                         pallas_early_stop=args.early_stop,
+                                         target_node=target),
                      spec, graph=graph)
     if args.weights:
         params = load_params(spec, graph, args.weights)
@@ -197,6 +199,10 @@ def main(argv=None) -> int:
                     help="decoder backend (auto: fused Pallas kernel on TPU)")
     pm.add_argument("--early-stop", action="store_true", dest="early_stop",
                     help="genie-exact early termination (Pallas backend)")
+    pm.add_argument("--systematic", action="store_true",
+                    help="count errors over info (systematic) bits only — "
+                         "excludes e.g. the degree-1 parity tail of 5G codes "
+                         "(reference `systematic` option, main_Base.py:29)")
 
     args = p.parse_args(argv)
     return {"codes": _cmd_codes, "weights": _cmd_weights,

@@ -38,6 +38,9 @@ CASES = [
     ("wman_N0576_R34_z24", (1, 0, 0), 1, 5, 3),     # MS, per-edge CN weights
     ("MACKAY_N96_K48", (3, 0, 3), 2, 5, 4),         # z=1 code, zp padding
     ("wman_N0576_R34_z24", (0, 0, 0), 0, 5, 3),     # plain sum-product
+    ("802_11n_N648_R56_z27", (3, 0, 3), 2, 5, 3),   # z=27: padded sublane rolls
+    ("5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320",
+     (2, 2, 2), 2, 5, 3),                           # punctured/shortened code
 ]
 
 
