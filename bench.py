@@ -38,7 +38,7 @@ def time_step(fn, args, warmup=3, iters=20):
 
 
 def main():
-    from ldpc_error_floor_tpu.utils import enable_compile_cache
+    from ldpc_error_floor_tpu.utils import enable_compile_cache, trace
     enable_compile_cache()
     from ldpc_error_floor_tpu.channel import AWGNChannel
     from ldpc_error_floor_tpu.codes import TannerGraph, get_code
@@ -73,7 +73,9 @@ def main():
     batches = (8192, 32768, 131072) if on_tpu else (2048, 8192)
     for batch in batches:
         try:
-            dt = time_step(make_step(batch), (params, key, sigma))
+            # set LDPC_TPU_PROFILE_DIR to capture an XProf trace of the sweep
+            with trace():
+                dt = time_step(make_step(batch), (params, key, sigma))
         except Exception as e:  # OOM etc.
             log(f"ours batch {batch}: failed ({type(e).__name__})")
             continue
