@@ -57,6 +57,9 @@ class ExperimentConfig:
     valid_num: int = 10000
     test_flag: int = 0
     test_num: int = 400
+    eval_loss: int = 1   # 0: skip the loss metric during eval -> stats-only
+    #   fused-kernel evaluation on TPU (loss row logs as 0); forced to 1
+    #   when opt_metric selects the loss
 
     # --- weight init ---
     init_from_file: int = 0

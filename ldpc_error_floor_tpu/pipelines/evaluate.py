@@ -24,6 +24,12 @@ from ldpc_error_floor_tpu.training.losses import multi_iteration_loss
 
 
 class Evaluator:
+    """`compute_loss=False` skips the per-iteration APP stack entirely and
+    evaluates through ``collect='stats'`` — on TPU, pair it with a
+    ``backend='pallas'`` decoder for fused-kernel evaluation speed (the loss
+    row of the metrics then reads 0; all-zero labels assumed, which is the
+    only case the reference's evaluator ever sees)."""
+
     def __init__(self, decoder: NMSDecoder, channel: AWGNChannel,
                  loss_type: int, t_lo: int = 0, batch: int = 0,
                  compute_loss: bool = True):
@@ -35,6 +41,14 @@ class Evaluator:
         self.compute_loss = compute_loss
 
         def step(params: Params, llr, labels, etha):
+            if not self.compute_loss:
+                res = decoder.apply(params, llr, collect="stats")
+                be_last = jnp.sum(res.bit_errors[-1]).astype(jnp.int32)
+                fe_last = jnp.sum(res.err_flags[-1]).astype(jnp.int32)
+                uncor = res.uncor_mask
+                return (be_last, fe_last,
+                        jnp.sum(uncor).astype(jnp.int32),
+                        jnp.float32(0.0), uncor)
             res = decoder.apply(params, llr, labels=labels, collect="apps")
             apps = res.apps
             wrong = (apps >= 0) != (labels[None] >= 0.5)      # [T, tz, B]
@@ -43,11 +57,8 @@ class Evaluator:
             be_last = jnp.sum(wrong[-1]).astype(jnp.int32)
             fe_last = jnp.sum(err_t[-1]).astype(jnp.int32)
             fe_genie = jnp.sum(uncor).astype(jnp.int32)
-            if self.compute_loss:
-                loss = multi_iteration_loss(apps, labels, loss_type, etha,
-                                            t_start=t_lo)
-            else:
-                loss = jnp.float32(0.0)
+            loss = multi_iteration_loss(apps, labels, loss_type, etha,
+                                        t_start=t_lo)
             return be_last, fe_last, fe_genie, loss, uncor
 
         self._step = jax.jit(step)

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dataclasses_replace
 from typing import Dict, List, Optional
 
 import jax
@@ -134,8 +134,18 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         train_step = make_train_step(decoder, spec, cfg.loss_type, start, end,
                                      cfg.fixed_init, optimizer=optimizer)
         t_lo = max(start - cfg.fixed_init, cfg.fixed_iter)
-        evaluator = Evaluator(decoder, channel, cfg.loss_type, t_lo=t_lo,
-                              batch=eval_batch or cfg.batch_size)
+        eb = eval_batch or cfg.batch_size
+        need_loss = bool(cfg.eval_loss) or cfg.opt_metric == 3
+        eval_decoder = decoder
+        if not need_loss and jax.default_backend() == "tpu" and eb % 128 == 0:
+            # stats-only eval rides the fused Pallas kernel
+            eval_decoder = NMSDecoder(
+                code, dataclasses_replace(dcfg, backend="pallas",
+                                          pallas_tb=256 if eb % 256 == 0
+                                          else 128),
+                spec, graph=graph)
+        evaluator = Evaluator(eval_decoder, channel, cfg.loss_type, t_lo=t_lo,
+                              batch=eb, compute_loss=need_loss)
         nbits = decoder.target * code.z
         labels = jnp.zeros((nbits, cfg.batch_size), jnp.float32)
 

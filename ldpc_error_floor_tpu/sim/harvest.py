@@ -5,11 +5,14 @@ Capability parity with the reference's sampling_type=2 path
 at a single SNR and keep every frame whose genie flag says it was wrong at
 *every* iteration.  Those LLR frames become the post-decoder's training set.
 
-TPU-native design: the decode step returns the per-frame uncor mask and the
-channel LLRs; the host only pulls the (tiny) mask each batch and fetches the
-LLR payload when the mask is non-empty — at error-floor SNRs that is rare,
-so harvesting runs at full decode throughput.  Under a mesh, each device
-harvests its own shard and masks/LLRs are gathered per batch.
+TPU-native design (SURVEY.md section 7, hard part (e) — rare-event harvesting
+must not ship bulk data across the host boundary): the decode step compacts
+the failing frames **on device** with a fixed-capacity `jnp.nonzero` gather,
+so the host transfer per batch is one scalar count plus at most
+``cap`` LLR columns (~100 KB) instead of the full [N*z, batch] tensor
+(~300 MB at batch 131072).  At error-floor SNRs hits are rare and
+harvesting runs at full fused-decoder throughput.  Under a mesh, each
+device compacts its own shard and the per-device buffers are gathered.
 """
 
 from __future__ import annotations
@@ -30,19 +33,33 @@ from ldpc_error_floor_tpu.models.weights import Params
 
 
 class UncorHarvester:
+    """Harvests never-corrected frames at one SNR.
+
+    `cap` bounds how many failing frames are kept per batch *per device*;
+    batches with more hits than `cap` keep the first `cap` (the true count
+    is still reported, so overflow is visible in the accounting).
+    """
+
     def __init__(self, decoder: NMSDecoder, channel: AWGNChannel,
                  batch: int = 1024, mesh: Optional[Mesh] = None,
-                 data_axis: str = "data"):
+                 data_axis: str = "data", cap: int = 512):
         self.decoder = decoder
         self.channel = channel
         self.batch = batch
         self.mesh = mesh
         self.data_axis = data_axis
+        self.cap = cap
 
         def body(params, key, sigma, local_batch):
-            llr = channel.sample(key, jnp.full((local_batch,), sigma, jnp.float32))
+            llr = channel.sample(key, jnp.full((local_batch,), sigma,
+                                               jnp.float32))
             res = decoder.apply(params, llr, collect="stats")
-            return res.uncor_mask, llr
+            mask = res.uncor_mask
+            count = jnp.sum(mask).astype(jnp.int32)
+            # on-device compaction: column indices of the (rare) hits
+            idx = jnp.nonzero(mask, size=cap, fill_value=local_batch - 1)[0]
+            picked = jnp.take(llr, idx, axis=1)           # [N*z, cap]
+            return count, picked
 
         if mesh is None:
             self._step = jax.jit(lambda p, k, s: body(p, k, s, batch))
@@ -50,13 +67,35 @@ class UncorHarvester:
             local = batch // mesh.shape[data_axis]
 
             def sharded(params, key, sigma):
-                idx = jax.lax.axis_index(data_axis)
-                return body(params, jax.random.fold_in(key, idx), sigma, local)
+                i = jax.lax.axis_index(data_axis)
+                count, picked = body(params, jax.random.fold_in(key, i),
+                                     sigma, local)
+                return count[None], picked
 
             self._step = jax.jit(shard_map(
                 sharded, mesh=mesh, in_specs=(P(), P(), P()),
                 out_specs=(P(data_axis), P(None, data_axis)),
                 check_vma=False))
+
+    def _drain(self, count, picked) -> List[np.ndarray]:
+        """Pull this batch's compacted hits to the host (device->host
+        traffic is at most cap columns per device)."""
+        out: List[np.ndarray] = []
+        if self.mesh is None:
+            c = int(count)
+            if c:
+                out.append(np.asarray(picked[:, :min(c, self.cap)]).T)
+        else:
+            counts = np.asarray(count)
+            pk = None
+            if counts.sum():
+                pk = np.asarray(picked)  # [N*z, ndev*cap]
+            for d, c in enumerate(counts):
+                c = int(c)
+                if c:
+                    blk = pk[:, d * self.cap:(d + 1) * self.cap]
+                    out.append(blk[:, :min(c, self.cap)].T)
+        return out
 
     def collect(self, params: Params, snr_db: float, key: jax.Array,
                 target_words: int, max_frames: int = 1_000_000_000,
@@ -72,16 +111,14 @@ class UncorHarvester:
         t0 = time.perf_counter()
         while n_words < target_words and frames < max_frames:
             key, sub = jax.random.split(key)
-            mask, llr = self._step(params, sub, sigma)
+            count, picked = self._step(params, sub, sigma)
             frames += self.batch
-            mask_np = np.asarray(mask)
-            cnt = int(mask_np.sum())
-            if cnt:
-                got = np.asarray(llr)[:, mask_np].T  # [cnt, N*z]
-                words.append(got)
-                n_words += cnt
+            got = self._drain(count, picked)
+            for g in got:
+                words.append(g)
+                n_words += g.shape[0]
                 if out_file is not None:
-                    append_uncor_file(out_file, got)
+                    append_uncor_file(out_file, g)
             if log_every and frames % log_every == 0:
                 dt = time.perf_counter() - t0
                 print(f"harvest: {n_words}/{target_words} words, "

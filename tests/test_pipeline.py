@@ -100,3 +100,30 @@ def test_post_training_on_uncor_words(base_cfg, workdir):
         np.testing.assert_allclose(np.asarray(res.params["cn"])[t],
                                    blocks["cn"][t], rtol=1e-6)
     assert os.path.exists(pre + "_Opt_Weight_End6.txt")
+
+
+def test_evaluator_stats_only_matches_loss_path():
+    """compute_loss=False (stats-only, fused-kernel-capable path) must give
+    identical BER/FER counters to the apps-based path."""
+    import jax
+    import jax.numpy as jnp
+    from ldpc_error_floor_tpu.channel import AWGNChannel
+    from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+    from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder,
+                                             WeightSpec, init_weights)
+    from ldpc_error_floor_tpu.pipelines.evaluate import Evaluator
+
+    code = get_code("MACKAY_N96_K48")
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=(3, 0, 3), n_iters=4)
+    dec = NMSDecoder(code, DecoderConfig(decoding_type=1), spec, graph=graph)
+    chan = AWGNChannel(code, decoding_type=1)
+    params = init_weights(spec, graph)
+    sig = code.snr_sigmas([2.0, 3.0])
+    key = jax.random.PRNGKey(11)
+    e1 = Evaluator(dec, chan, loss_type=0, batch=64, compute_loss=True)
+    e2 = Evaluator(dec, chan, loss_type=0, batch=64, compute_loss=False)
+    r1, _ = e1.run(params, sig, 128, 0.0, key=key)
+    r2, _ = e2.run(params, sig, 128, 0.0, key=key)
+    np.testing.assert_allclose(r1[:3], r2[:3])   # BER/FER rows identical
+    assert np.all(r2[3] == 0.0)                  # loss row zeroed
