@@ -203,13 +203,17 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
                               params_to_blocks(spec, params))
             log.train_result(epoch, cfg.epochs, start, end, avg_loss)
 
-            # validation
+            # validation (in collect mode this is also the harvesting pass,
+            # reference `Print_Functions.py:147-156`; the dedicated
+            # `pipelines.collect.run_collection` is the faster path)
             t_valid = t_test = 0.0
+            uncor_path = (os.path.join(cfg.out_dir, "Uncor.txt")
+                          if cfg.sampling_type == SAMPLING_COLLECT else None)
             if cfg.valid_flag:
                 key, sub = jax.random.split(key)
                 results, t_valid = evaluator.run(
                     params, snr_sigmas, cfg.valid_num, etha_curr, key=sub,
-                    data=data_valid)
+                    data=data_valid, collect_uncor_path=uncor_path)
                 metric = _opt_metric_value(results, cfg.opt_metric)
                 improved = metric < opt_valid
                 if improved:
