@@ -258,9 +258,17 @@ class NMSDecoder:
             else:
                 amag = jnp.where(xc == 0.0, _PAD_MAG, jnp.abs(xc))
                 sgn = jnp.where(xc > 0.0, -1.0, 1.0)
-                mag = _extrinsic_min(amag)
+                # extrinsic min via min1/min2 (cheaper fwd+bwd than the
+                # cumulative-scan formulation, identical values)
+                i1 = jnp.argmin(amag, axis=1)                       # [M, z, B]
+                m1 = jnp.min(amag, axis=1)
+                slot = jnp.arange(Dc)[None, :, None, None]
+                is_min = slot == i1[:, None]
+                m2 = jnp.min(jnp.where(is_min, _PAD_MAG, amag), axis=1)
+                mag = jnp.where(is_min, m2[:, None], m1[:, None])
                 mag = jnp.where(jnp.abs(mag) <= _EPS_MSG, mag - _EPS_MSG, mag)
-                out = mag * (-_extrinsic_prod(sgn))
+                # extrinsic sign product = total product * own sign (sgn^2=1)
+                out = mag * (-(jnp.prod(sgn, axis=1, keepdims=True) * sgn))
 
             # (6) neural CN/UCN weighting + ReLU + clip/quantize — reference 267-316
             cn_mode = spec.sharing[0]
