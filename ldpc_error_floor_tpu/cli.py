@@ -128,7 +128,8 @@ def _cmd_simulate(args) -> int:
         params = init_weights(spec, graph)
     ch = AWGNChannel(code, decoding_type=args.decoding_type, q_bit=args.q_bit)
     mesh = data_mesh() if args.mesh else None
-    sim = FERSimulator(dec, ch, batch=args.batch, mesh=mesh)
+    sim = FERSimulator(dec, ch, batch=args.batch, mesh=mesh,
+                       inner_steps=args.inner_steps)
     key = jax.random.PRNGKey(args.seed)
     points = sim.run_curve(params, args.snrs, key,
                            max_frames=args.max_frames,
@@ -192,6 +193,9 @@ def main(argv=None) -> int:
     pm.add_argument("--target-errors", type=int, default=100,
                     dest="target_errors")
     pm.add_argument("--seed", type=int, default=0)
+    pm.add_argument("--inner-steps", type=int, default=1, dest="inner_steps",
+                    help="on-device batches per host sync (hides host/tunnel "
+                         "round-trip latency in deep error-floor sweeps)")
     pm.add_argument("--mesh", action="store_true",
                     help="shard the batch over all devices")
     pm.add_argument("--backend", choices=["auto", "xla", "pallas"],

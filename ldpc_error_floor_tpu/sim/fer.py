@@ -66,12 +66,22 @@ class FERSimulator:
 
     def __init__(self, decoder: NMSDecoder, channel: AWGNChannel,
                  batch: int = 1024, mesh: Optional[Mesh] = None,
-                 data_axis: str = "data"):
+                 data_axis: str = "data", inner_steps: int = 1):
         self.decoder = decoder
         self.channel = channel
         self.batch = batch
         self.mesh = mesh
         self.data_axis = data_axis
+        # Device-side inner loop: each host round-trip runs `inner_steps`
+        # fused sample+decode batches under one lax.scan and returns summed
+        # counters.  Over a tunneled/remote TPU the per-dispatch host sync
+        # otherwise dominates at high throughput.  int32 counter headroom
+        # bounds it: inner_steps*batch*nbits must stay < 2^31.
+        if inner_steps < 1:
+            raise ValueError("inner_steps must be >= 1")
+        nbits = decoder.target * decoder.z
+        self.inner_steps = min(inner_steps,
+                               max(1, (2 ** 31 - 1) // max(batch * nbits, 1)))
         if mesh is not None:
             n_dev = mesh.shape[data_axis]
             if batch % n_dev != 0:
@@ -89,22 +99,48 @@ class FERSimulator:
         feg = jnp.sum(res.uncor_mask).astype(jnp.int32)
         return be, fel, feg, llr, res.uncor_mask
 
+    def _inner_loop(self, body: Callable) -> Callable:
+        """Wrap a single-batch counter step into an on-device scan over
+        `inner_steps` independent subkeys, returning summed counters."""
+        if self.inner_steps == 1:
+            return body
+
+        def looped(params, key, sigma):
+            subs = jax.random.split(key, self.inner_steps)
+
+            def scan_body(acc, sub):
+                be, fel, feg = body(params, sub, sigma)
+                return (acc[0] + be, acc[1] + fel, acc[2] + feg), None
+
+            zero = jnp.int32(0)
+            (be, fel, feg), _ = jax.lax.scan(scan_body, (zero, zero, zero),
+                                             subs)
+            return be, fel, feg
+
+        return looped
+
     def _build_step(self) -> Callable:
         if self.mesh is None:
             def step(params, key, sigma):
                 be, fel, feg, _, _ = self._local_step(params, key, sigma,
                                                       self.batch)
                 return be, fel, feg
-            return jax.jit(step)
+            return jax.jit(self._inner_loop(step))
 
         axis = self.data_axis
         local_batch = self.batch // self.mesh.shape[axis]
 
+        def device_body(params, key, sigma):
+            be, fel, feg, _, _ = self._local_step(params, key, sigma,
+                                                  local_batch)
+            return be, fel, feg
+
+        looped = self._inner_loop(device_body)
+
         def sharded_body(params, key, sigma):
             idx = jax.lax.axis_index(axis)
             key = jax.random.fold_in(key, idx)
-            be, fel, feg, _, _ = self._local_step(params, key, sigma,
-                                                  local_batch)
+            be, fel, feg = looped(params, key, sigma)
             return (jax.lax.psum(be, axis), jax.lax.psum(fel, axis),
                     jax.lax.psum(feg, axis))
 
@@ -127,11 +163,22 @@ class FERSimulator:
         sigma = jnp.float32(self.channel.code.snr_sigmas([snr_db])[0])
         c = SimCounters()
         t0 = time.perf_counter()
+        frames_per_step = self.batch * self.inner_steps
         i = 0
-        while c.frames < max_frames:
+        # One step is kept in flight past the host-side counter fetch, so
+        # the device never idles on the (possibly tunneled) host round-trip.
+        pending = None
+        if max_frames > 0:
             key, sub = jax.random.split(key)
-            be, fel, feg = self._step(params, sub, sigma)
-            c.add(self.batch, be, fel, feg)
+            pending = self._step(params, sub, sigma)
+        while pending is not None:
+            nxt = None
+            if c.frames + 2 * frames_per_step <= max_frames:
+                key, sub = jax.random.split(key)
+                nxt = self._step(params, sub, sigma)
+            be, fel, feg = pending
+            c.add(frames_per_step, be, fel, feg)
+            pending = nxt
             i += 1
             if progress is not None and i % 50 == 0:
                 progress(c)

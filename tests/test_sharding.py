@@ -83,3 +83,37 @@ def test_smaller_mesh_subset(setup):
                        target_frame_errors=None)
     assert pt.frames == 512
     assert 0 <= pt.fer_genie <= 1
+
+
+def test_inner_steps_counters_match_manual_loop(setup):
+    """inner_steps=K runs K on-device batches per host sync; totals must
+    equal K manual single-step calls on the same split subkeys."""
+    code, dec, ch, params = setup
+    sim1 = FERSimulator(dec, ch, batch=64)
+    simk = FERSimulator(dec, ch, batch=64, inner_steps=4)
+    assert simk.inner_steps == 4
+    key = jax.random.PRNGKey(5)
+    sigma = jnp.float32(code.snr_sigmas([2.0])[0])
+    got = tuple(int(x) for x in simk._step(params, key, sigma))
+    want = np.zeros(3, np.int64)
+    for sub in jax.random.split(key, 4):
+        want += np.array([int(x) for x in sim1._step(params, sub, sigma)])
+    assert got == tuple(want)
+    assert got[2] > 0
+
+
+def test_inner_steps_mesh_matches_totals(setup):
+    code, dec, ch, params = setup
+    mesh = data_mesh(8)
+    simk = FERSimulator(dec, ch, batch=256, mesh=mesh, inner_steps=3)
+    pt = simk.run_point(params, 2.0, jax.random.PRNGKey(3),
+                        max_frames=2 * 3 * 256, target_frame_errors=None)
+    assert pt.frames == 2 * 3 * 256
+    assert 0 < pt.fer_genie <= 1
+
+
+def test_inner_steps_int32_headroom_clamp(setup):
+    code, dec, ch, params = setup
+    sim = FERSimulator(dec, ch, batch=1 << 20, inner_steps=1 << 20)
+    nbits = dec.target * dec.z
+    assert sim.inner_steps * (1 << 20) * nbits < 2 ** 31
