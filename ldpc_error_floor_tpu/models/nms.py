@@ -88,6 +88,28 @@ class DecodeResult(NamedTuple):
         return jnp.all(self.err_flags, axis=0)
 
 
+class DeployResult(NamedTuple):
+    """Per-frame results of a syndrome-early-terminated ("deploy") decode.
+
+    Every field is frozen at the frame's first iteration whose hard
+    decisions satisfy H*x == 0 (or at iteration T-1 with `detected_fail`
+    set if the syndrome was never satisfied).  This is the deployable
+    early-termination the reference lacks — its genie-FER stops on codeword
+    knowledge (`Print_Functions.py:105-111`), which no real decoder has.
+    """
+
+    app: jnp.ndarray            # [N*z, B] APP LLRs at the stop iteration
+    wrong: jnp.ndarray          # [B] bool — frame wrong at its stop iteration
+    bit_errors: jnp.ndarray     # [B] int32 — bit errors at its stop iteration
+    iters: jnp.ndarray          # [B] int32 — iterations executed
+    detected_fail: jnp.ndarray  # [B] bool — syndrome never satisfied
+
+    @property
+    def undetected(self) -> jnp.ndarray:
+        """[B] bool — converged to a *wrong* codeword (CRC territory)."""
+        return jnp.logical_and(self.wrong, jnp.logical_not(self.detected_fail))
+
+
 def _extrinsic_min(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """For each slot d: min over all other slots along `axis` (identity 1e4)."""
     ident = jnp.full_like(lax.slice_in_dim(x, 0, 1, axis=axis), _PAD_MAG)
@@ -134,7 +156,8 @@ class NMSDecoder:
         self._vn_in = jnp.asarray(g.vn_in_idx)
         self._cn_vn = jnp.asarray(g.cn_vn_idx)
         self._cn_edge_idx = jnp.asarray(g.cn_slot_edge_idx)
-        self._fused = None  # lazily-built Pallas kernel (backend='pallas')
+        self._fused = None  # lazily-built Pallas kernels (backend='pallas')
+        self._fused_deploy = None
         self._decode_jit = jax.jit(self._decode_impl,
                                    static_argnames=("collect",))
 
@@ -164,8 +187,9 @@ class NMSDecoder:
         """Run `spec.n_iters` decoding iterations.
 
         collect: 'stats' (per-iteration error flags + bit-error counts),
-        'apps' (per-iteration APP stacks for training losses), or
-        'app_last' (final APP only).
+        'apps' (per-iteration APP stacks for training losses),
+        'app_last' (final APP only), or 'deploy' (syndrome-based per-frame
+        early termination — returns a `DeployResult`).
         """
         stacked = stack_weights(self.spec, params)
         if labels is None:
@@ -199,6 +223,13 @@ class NMSDecoder:
             if collect == "app_last":
                 return DecodeResult(app, None, None, None, None)
             return DecodeResult(app, err, nerr, None, None)
+        if cfg.backend == "pallas" and collect == "deploy":
+            from ldpc_error_floor_tpu.ops.pallas_decoder import FusedNMSKernel
+            if self._fused_deploy is None:
+                self._fused_deploy = FusedNMSKernel(self.graph, cfg, spec,
+                                                    tb=cfg.pallas_tb,
+                                                    mode="deploy")
+            return DeployResult(*self._fused_deploy.decode_deploy(stacked, llr))
         N, M, z, Dv, Dc = self.N, self.M, self.z, self.Dv, self.Dc
         B = llr.shape[-1]
         T = spec.n_iters
@@ -300,15 +331,17 @@ class NMSDecoder:
             app_target = app_flat[: self.target * z]
             if collect == "apps":
                 ys = app_target
-            elif collect == "stats":
+            elif collect in ("stats", "deploy"):
                 wrong = (app_target >= 0.0) != (labels_t >= 0.5)
                 nerr = jnp.sum(wrong, axis=0).astype(jnp.int32)
                 ys = (jnp.any(wrong, axis=0), nerr)
-                if cfg.track_syndrome:
+                if cfg.track_syndrome or collect == "deploy":
                     bits_pad2 = jnp.concatenate([bits, zero_row], axis=0)
                     pm2 = 1.0 - 2.0 * bits_pad2[self._cn_vn].reshape(M, Dc, z, B)
                     synd_ok = jnp.all(jnp.prod(pm2, axis=1) > 0, axis=(0, 1))
                     ys = ys + (synd_ok,)
+                if collect == "deploy":
+                    ys = ys + (app_flat,)
             else:
                 ys = ()
             return (y, bits, app_flat), ys
@@ -326,4 +359,21 @@ class NMSDecoder:
         if collect == "stats":
             synd = ys[2] if cfg.track_syndrome else None
             return DecodeResult(app_last, ys[0], ys[1], None, synd)
+        if collect == "deploy":
+            # per-frame stop at the first syndrome-satisfied iteration —
+            # the scan-backend twin of the kernel's deploy mode (keeps the
+            # [T, N*z, B] APP stack live; for production batches use
+            # backend='pallas', which freezes in VMEM instead)
+            errf, nerrf, synd, apps_full = ys
+            any_ok = jnp.any(synd, axis=0)
+            first = jnp.argmax(synd, axis=0)
+            idx = jnp.where(any_ok, first, T - 1)
+            take = lambda a: jnp.take_along_axis(a, idx[None], axis=0)[0]
+            idx3 = jnp.broadcast_to(idx[None, None],
+                                    (1,) + apps_full.shape[1:])
+            app_stop = jnp.take_along_axis(apps_full, idx3, axis=0)[0]
+            return DeployResult(app_stop, take(errf),
+                                take(nerrf).astype(jnp.int32),
+                                jnp.where(any_ok, first + 1, T).astype(jnp.int32),
+                                jnp.logical_not(any_ok))
         return DecodeResult(app_last, None, None, None, None)

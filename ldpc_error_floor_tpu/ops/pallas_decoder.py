@@ -64,9 +64,17 @@ class FusedNMSKernel:
 
     def __init__(self, graph: TannerGraph, cfg: DecoderConfig, spec: WeightSpec,
                  tb: int = 256, interpret: Optional[bool] = None,
-                 early_stop: bool = False):
+                 early_stop: bool = False, mode: str = "stats"):
         if cfg.decoding_type not in (SP, MS, QMS, MS_RAW):
             raise ValueError(f"bad decoding_type {cfg.decoding_type}")
+        if mode not in ("stats", "deploy"):
+            raise ValueError(f"bad kernel mode {mode!r}")
+        # mode='deploy': syndrome-based early termination (the deployable
+        # variant — no genie knowledge).  Each batch lane freezes its APP /
+        # error stats at the first iteration whose hard decisions satisfy
+        # H*x == 0; the iteration loop ends once every lane in the tile has
+        # stopped (or at T).  See `decode_deploy`.
+        self.mode = mode
         self.graph = graph
         self.cfg = cfg
         self.spec = spec
@@ -133,6 +141,7 @@ class FusedNMSKernel:
         TB = self.tb
         cn_mode, ucn_mode, vn_mode = spec.sharing
         ucn = spec.ucn_enabled
+        deploy = self.mode == "deploy"
 
         it = iter(refs)
         llr_ref = next(it)
@@ -140,10 +149,14 @@ class FusedNMSKernel:
         w_ucn_ref = next(it) if ucn else None
         w_vn_ref = next(it) if vn_mode > 0 else None
         app_out = next(it)
-        err_out = next(it)
-        nerr_out = next(it)
+        if deploy:
+            stat_out = next(it)
+            err_out = nerr_out = None
+        else:
+            err_out = next(it)
+            nerr_out = next(it)
         c2v_scr = next(it)
-        app_scr = next(it) if ucn else None
+        app_scr = next(it) if (ucn or deploy) else None
 
         sp = cfg.decoding_type == SP
         qms = cfg.decoding_type == QMS
@@ -157,9 +170,9 @@ class FusedNMSKernel:
             valid = None
 
         c2v_scr[...] = jnp.zeros((E, zp, TB), jnp.float32)
-        if ucn:
+        if app_scr is not None:
             app_scr[...] = jnp.zeros((N, zp, TB), jnp.float32)
-        if self.early_stop:
+        if self.early_stop and not deploy:
             # skipped iterations must read as "decoded" in the stat outputs
             err_out[...] = jnp.zeros_like(err_out)
             nerr_out[...] = jnp.zeros_like(nerr_out)
@@ -167,7 +180,11 @@ class FusedNMSKernel:
         def llr_tile(j):
             return llr_ref[j * zp:(j + 1) * zp, :]
 
-        def body(t):
+        def iteration(t):
+            """One full decoding iteration (steps 1-7 + APP/stat compute).
+            Writes the new C->V state to `c2v_scr`; returns the per-VN APP
+            tiles plus per-lane bit-error count / frame-wrong flags, leaving
+            all output/freeze bookkeeping to the mode-specific loop."""
             # (1) weighted (and quantized) channel input — reference 164-177
             llr_w = []
             for j in range(N):
@@ -271,9 +288,9 @@ class FusedNMSKernel:
                             t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref,
                             u_mask[i] if ucn else None)
 
-            # (7) route back + store; (8) APP + stats — reference 317-335
+            # (7) route back + store; (8) APP + per-lane stats — reference 317-335
             nerr_tot = None
-            wrong_any = None
+            apps = []
             for j in range(N):
                 app_j = None
                 for e in self.vn_edges[j]:
@@ -285,9 +302,7 @@ class FusedNMSKernel:
                     base = self._quantize(base)
                 app_j = base if app_j is None else base + app_j
                 app_j = jnp.clip(app_j, -cfg.clip_llr, cfg.clip_llr)
-                if ucn:
-                    app_scr[j] = app_j
-                app_out[j * zp:(j + 1) * zp, :] = app_j
+                apps.append(app_j)
                 if j < self.target:
                     wrong = (app_j >= 0.0).astype(jnp.float32)
                     if valid is not None:
@@ -295,23 +310,79 @@ class FusedNMSKernel:
                     ne = jnp.sum(wrong, axis=0, keepdims=True)  # [1, TB]
                     nerr_tot = ne if nerr_tot is None else nerr_tot + ne
             wrong_any = (nerr_tot > 0.0).astype(jnp.float32)
+            return apps, wrong_any, nerr_tot
+
+        def stats_step(t):
+            apps, wrong_any, nerr_tot = iteration(t)
+            for j in range(N):
+                if ucn:
+                    app_scr[j] = apps[j]
+                app_out[j * zp:(j + 1) * zp, :] = apps[j]
             err_out[pl.ds(t, 1), :] = wrong_any
             nerr_out[pl.ds(t, 1), :] = nerr_tot
             return wrong_any
 
-        if self.early_stop:
+        if deploy:
+            def synd_ok(apps):
+                """[1, TB] 1.0 where the hard decisions satisfy every lifted
+                parity check (the real early-termination test a deployed
+                decoder runs — no genie / codeword knowledge)."""
+                pm = [1.0 - 2.0 * (a >= 0.0).astype(jnp.float32) for a in apps]
+                unsat = None
+                for i in range(M):
+                    prod = None
+                    for e in self.cn_edges[i]:
+                        pe = self._roll(pm[self.edge_vn[e]], self.edge_shift[e])
+                        prod = pe if prod is None else prod * pe
+                    bad = (prod < 0.0).astype(jnp.float32)
+                    if valid is not None:
+                        bad = bad * valid
+                    s_ = jnp.sum(bad, axis=0, keepdims=True)
+                    unsat = s_ if unsat is None else unsat + s_
+                return (unsat == 0.0).astype(jnp.float32)
+
+            # Per-lane running stats live in the stat_out VMEM ref (row 0
+            # err, 1 nerr, 2 iters, 3 run-mask) — vector while_loop carries
+            # trip Mosaic relayout between replicated inits and lane-varying
+            # body outputs, so the carry holds only scalars.
+            stat_out[...] = jnp.zeros((8, TB), jnp.float32)
+            stat_out[3:4, :] = jnp.ones((1, TB), jnp.float32)
+
+            def cond(carry):
+                t, nrun = carry
+                return jnp.logical_and(t < T, nrun > 0.0)
+
+            def dbody(carry):
+                t, _ = carry
+                run = stat_out[3:4, :]
+                apps, wrong_any, nerr_tot = iteration(t)
+                # freeze each lane's outputs at its own stop iteration
+                for j in range(N):
+                    app_scr[j] = jnp.where(run > 0.0, apps[j], app_scr[j])
+                keep = 1.0 - run
+                stat_out[0:1, :] = run * wrong_any + keep * stat_out[0:1, :]
+                stat_out[1:2, :] = run * nerr_tot + keep * stat_out[1:2, :]
+                stat_out[2:3, :] = stat_out[2:3, :] + run
+                run = run * (1.0 - synd_ok(apps))
+                stat_out[3:4, :] = run
+                return t + 1, jnp.sum(run)
+
+            jax.lax.while_loop(cond, dbody, (0, jnp.float32(TB)))
+            for j in range(N):
+                app_out[j * zp:(j + 1) * zp, :] = app_scr[j]
+        elif self.early_stop:
             def cond(carry):
                 t, still_wrong = carry
                 return jnp.logical_and(t < T, jnp.sum(still_wrong) > 0.0)
 
             def wbody(carry):
                 t, still_wrong = carry
-                return t + 1, still_wrong * body(t)
+                return t + 1, still_wrong * stats_step(t)
 
             jax.lax.while_loop(cond, wbody,
                                (0, jnp.ones((1, TB), jnp.float32)))
         else:
-            jax.lax.fori_loop(0, T, lambda t, c: (body(t), c)[1], 0)
+            jax.lax.fori_loop(0, T, lambda t, c: (stats_step(t), c)[1], 0)
 
     def _weight_edge(self, t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref, u_i):
         """Apply CN/UCN weighting + ReLU + clip/quantize + sign re-attach
@@ -345,6 +416,7 @@ class FusedNMSKernel:
         Tp = _round_up(self.T, 8)  # stat rows padded to the sublane boundary
         spec = self.spec
         cn_mode, _, vn_mode = spec.sharing
+        deploy = self.mode == "deploy"
 
         in_specs = [pl.BlockSpec((N * zp, TB), lambda b: (0, b),
                                  memory_space=pltpu.VMEM)]
@@ -358,11 +430,19 @@ class FusedNMSKernel:
 
         out_specs = [
             pl.BlockSpec((N * zp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
         ]
+        if deploy:
+            out_specs.append(pl.BlockSpec((8, TB), lambda b: (0, b),
+                                          memory_space=pltpu.VMEM))
+        else:
+            out_specs += [
+                pl.BlockSpec((Tp, TB), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tp, TB), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+            ]
         scratch = [pltpu.VMEM((self.E, zp, TB), jnp.float32)]
-        if spec.ucn_enabled:
+        if spec.ucn_enabled or deploy:
             scratch.append(pltpu.VMEM((N, zp, TB), jnp.float32))
 
         flops_per_block = self.T * self.E * zp * TB * 16
@@ -373,9 +453,14 @@ class FusedNMSKernel:
             grid = (B // TB,)
             out_shape = [
                 jax.ShapeDtypeStruct((N * zp, B), jnp.float32),  # app (padded z)
-                jax.ShapeDtypeStruct((Tp, B), jnp.float32),      # err flags
-                jax.ShapeDtypeStruct((Tp, B), jnp.float32),      # bit errors
             ]
+            if deploy:
+                out_shape.append(jax.ShapeDtypeStruct((8, B), jnp.float32))
+            else:
+                out_shape += [
+                    jax.ShapeDtypeStruct((Tp, B), jnp.float32),  # err flags
+                    jax.ShapeDtypeStruct((Tp, B), jnp.float32),  # bit errors
+                ]
             return pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -392,13 +477,7 @@ class FusedNMSKernel:
 
         return call
 
-    def decode_stats(self, stacked: Dict[str, Optional[jnp.ndarray]],
-                     llr: jnp.ndarray):
-        """llr: [N*z, B] p1/p0 channel LLRs; B must be a multiple of `tb`.
-
-        Returns (app_last [N*z, B], err_flags [T, B] bool,
-        bit_errors [T, B] int32) vs the all-zero codeword.
-        """
+    def _prep_inputs(self, stacked, llr):
         N, z, zp = self.N, self.z, self.zp
         B = llr.shape[-1]
         if B % self.tb != 0:
@@ -408,14 +487,48 @@ class FusedNMSKernel:
             x = jnp.pad(x, ((0, 0), (0, zp - z), (0, 0)),
                         constant_values=-self.cfg.clip_llr)
         x = x.reshape(N * zp, B)
-
         weights = []
         for kind, mode in zip(("cn", "ucn", "vn"), self.spec.sharing):
             if kind == "ucn" and not self.spec.ucn_enabled:
                 continue
             if mode > 0:
                 weights.append(stacked[kind])
+        return x, weights
 
+    def decode_stats(self, stacked: Dict[str, Optional[jnp.ndarray]],
+                     llr: jnp.ndarray):
+        """llr: [N*z, B] p1/p0 channel LLRs; B must be a multiple of `tb`.
+
+        Returns (app_last [N*z, B], err_flags [T, B] bool,
+        bit_errors [T, B] int32) vs the all-zero codeword.
+        """
+        if self.mode != "stats":
+            raise ValueError("decode_stats requires a mode='stats' kernel")
+        N, z, zp = self.N, self.z, self.zp
+        B = llr.shape[-1]
+        x, weights = self._prep_inputs(stacked, llr)
         app_pad, err, nerr = self._call(x, *weights)
         app = app_pad.reshape(N, zp, B)[:, :z, :].reshape(N * z, B)
         return app, err[:self.T] > 0.5, nerr[:self.T].astype(jnp.int32)
+
+    def decode_deploy(self, stacked: Dict[str, Optional[jnp.ndarray]],
+                      llr: jnp.ndarray):
+        """Syndrome-early-terminated decode (the deployable mode).
+
+        Returns ``(app [N*z, B], wrong [B] bool, bit_errors [B] int32,
+        iters [B] int32, detected_fail [B] bool)`` where every quantity is
+        frozen at each lane's first syndrome-satisfied iteration (or at
+        iteration T-1 with ``detected_fail`` set if the syndrome was never
+        satisfied).  ``wrong & ~detected_fail`` are *undetected* errors
+        (convergence to a wrong codeword) — the metric a deployed decoder's
+        CRC layer has to catch.
+        """
+        if self.mode != "deploy":
+            raise ValueError("decode_deploy requires a mode='deploy' kernel")
+        N, z, zp = self.N, self.z, self.zp
+        B = llr.shape[-1]
+        x, weights = self._prep_inputs(stacked, llr)
+        app_pad, stat = self._call(x, *weights)
+        app = app_pad.reshape(N, zp, B)[:, :z, :].reshape(N * z, B)
+        return (app, stat[0] > 0.5, stat[1].astype(jnp.int32),
+                stat[2].astype(jnp.int32), stat[3] > 0.5)

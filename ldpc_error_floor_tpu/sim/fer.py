@@ -42,12 +42,25 @@ class SimCounters:
     bit_errors_last: int = 0
     frame_errors_last: int = 0
     frame_errors_genie: int = 0
+    # syndrome ("deploy") stop mode extras
+    frame_errors_undetected: int = 0
+    iters_sum: int = 0
 
     def add(self, frames, be, fel, feg):
         self.frames += int(frames)
         self.bit_errors_last += int(be)
         self.frame_errors_last += int(fel)
         self.frame_errors_genie += int(feg)
+
+    def add_deploy(self, frames, be, fe, undet, iters):
+        """Syndrome-stop counters: `fe`/`be` are frame/bit errors at each
+        frame's own stop iteration; `undet` are wrong frames whose syndrome
+        was satisfied (miscorrections); `iters` is total iterations run."""
+        self.frames += int(frames)
+        self.bit_errors_last += int(be)
+        self.frame_errors_last += int(fe)
+        self.frame_errors_undetected += int(undet)
+        self.iters_sum += int(iters)
 
 
 @dataclass
@@ -59,6 +72,9 @@ class FERPoint:
     fer_genie: float
     seconds: float
     frames_per_sec: float
+    # populated only by stop='syndrome' runs
+    fer_undetected: Optional[float] = None
+    avg_iters: Optional[float] = None
 
 
 class FERSimulator:
@@ -66,12 +82,22 @@ class FERSimulator:
 
     def __init__(self, decoder: NMSDecoder, channel: AWGNChannel,
                  batch: int = 1024, mesh: Optional[Mesh] = None,
-                 data_axis: str = "data", inner_steps: int = 1):
+                 data_axis: str = "data", inner_steps: int = 1,
+                 stop: str = "genie"):
+        if stop not in ("genie", "syndrome"):
+            raise ValueError(f"bad stop mode {stop!r}")
         self.decoder = decoder
         self.channel = channel
         self.batch = batch
         self.mesh = mesh
         self.data_axis = data_axis
+        # stop='genie': the reference's metric definitions (fixed iteration
+        # count; FER counts frames wrong at every iteration).  'syndrome':
+        # deployable early termination — each frame stops at its first
+        # H*x == 0 iteration; reports FER at stop, undetected-error rate and
+        # average iterations (see models.nms.DeployResult).
+        self.stop = stop
+        self._n_counters = 4 if stop == "syndrome" else 3
         # Device-side inner loop: each host round-trip runs `inner_steps`
         # fused sample+decode batches under one lax.scan and returns summed
         # counters.  Over a tunneled/remote TPU the per-dispatch host sync
@@ -91,13 +117,21 @@ class FERSimulator:
 
     def _local_step(self, params: Params, key: jax.Array, sigma: jnp.ndarray,
                     local_batch: int):
+        """Returns (counter tuple, llr, failure mask) for one local batch."""
         llr = self.channel.sample(key, jnp.full((local_batch,), sigma,
                                                 jnp.float32))
+        if self.stop == "syndrome":
+            res = self.decoder.apply(params, llr, collect="deploy")
+            counters = (jnp.sum(res.bit_errors).astype(jnp.int32),
+                        jnp.sum(res.wrong).astype(jnp.int32),
+                        jnp.sum(res.undetected).astype(jnp.int32),
+                        jnp.sum(res.iters).astype(jnp.int32))
+            return counters, llr, res.wrong
         res = self.decoder.apply(params, llr, collect="stats")
-        be = jnp.sum(res.bit_errors[-1]).astype(jnp.int32)
-        fel = jnp.sum(res.err_flags[-1]).astype(jnp.int32)
-        feg = jnp.sum(res.uncor_mask).astype(jnp.int32)
-        return be, fel, feg, llr, res.uncor_mask
+        counters = (jnp.sum(res.bit_errors[-1]).astype(jnp.int32),
+                    jnp.sum(res.err_flags[-1]).astype(jnp.int32),
+                    jnp.sum(res.uncor_mask).astype(jnp.int32))
+        return counters, llr, res.uncor_mask
 
     def _inner_loop(self, body: Callable) -> Callable:
         """Wrap a single-batch counter step into an on-device scan over
@@ -109,45 +143,43 @@ class FERSimulator:
             subs = jax.random.split(key, self.inner_steps)
 
             def scan_body(acc, sub):
-                be, fel, feg = body(params, sub, sigma)
-                return (acc[0] + be, acc[1] + fel, acc[2] + feg), None
+                c = body(params, sub, sigma)
+                return tuple(a + x for a, x in zip(acc, c)), None
 
-            zero = jnp.int32(0)
-            (be, fel, feg), _ = jax.lax.scan(scan_body, (zero, zero, zero),
-                                             subs)
-            return be, fel, feg
+            zeros = tuple(jnp.int32(0) for _ in range(self._n_counters))
+            acc, _ = jax.lax.scan(scan_body, zeros, subs)
+            return acc
 
         return looped
 
     def _build_step(self) -> Callable:
         if self.mesh is None:
             def step(params, key, sigma):
-                be, fel, feg, _, _ = self._local_step(params, key, sigma,
-                                                      self.batch)
-                return be, fel, feg
+                counters, _, _ = self._local_step(params, key, sigma,
+                                                  self.batch)
+                return counters
             return jax.jit(self._inner_loop(step))
 
         axis = self.data_axis
         local_batch = self.batch // self.mesh.shape[axis]
 
         def device_body(params, key, sigma):
-            be, fel, feg, _, _ = self._local_step(params, key, sigma,
-                                                  local_batch)
-            return be, fel, feg
+            counters, _, _ = self._local_step(params, key, sigma, local_batch)
+            return counters
 
         looped = self._inner_loop(device_body)
 
         def sharded_body(params, key, sigma):
             idx = jax.lax.axis_index(axis)
             key = jax.random.fold_in(key, idx)
-            be, fel, feg = looped(params, key, sigma)
-            return (jax.lax.psum(be, axis), jax.lax.psum(fel, axis),
-                    jax.lax.psum(feg, axis))
+            counters = looped(params, key, sigma)
+            return tuple(jax.lax.psum(c, axis) for c in counters)
 
+        spec = tuple(P() for _ in range(self._n_counters))
         smapped = shard_map(
             sharded_body, mesh=self.mesh,
             in_specs=(P(), P(), P()),
-            out_specs=(P(), P(), P()),
+            out_specs=spec,
             check_vma=False,  # scan carries start unvarying (zeros)
         )
         return jax.jit(smapped)
@@ -171,19 +203,24 @@ class FERSimulator:
         if max_frames > 0:
             key, sub = jax.random.split(key)
             pending = self._step(params, sub, sigma)
+        syndrome = self.stop == "syndrome"
         while pending is not None:
             nxt = None
             if c.frames + 2 * frames_per_step <= max_frames:
                 key, sub = jax.random.split(key)
                 nxt = self._step(params, sub, sigma)
-            be, fel, feg = pending
-            c.add(frames_per_step, be, fel, feg)
+            if syndrome:
+                c.add_deploy(frames_per_step, *pending)
+                stop_errors = c.frame_errors_last
+            else:
+                c.add(frames_per_step, *pending)
+                stop_errors = c.frame_errors_genie
             pending = nxt
             i += 1
             if progress is not None and i % 50 == 0:
                 progress(c)
             if (target_frame_errors is not None and c.frames >= min_frames
-                    and c.frame_errors_genie >= target_frame_errors):
+                    and stop_errors >= target_frame_errors):
                 break
         dt = time.perf_counter() - t0
         nbits = self.decoder.target * self.decoder.z
@@ -191,8 +228,12 @@ class FERSimulator:
             snr_db=float(snr_db), frames=c.frames,
             ber_last=c.bit_errors_last / (c.frames * nbits),
             fer_last=c.frame_errors_last / c.frames,
-            fer_genie=c.frame_errors_genie / c.frames,
-            seconds=dt, frames_per_sec=c.frames / dt if dt > 0 else 0.0)
+            fer_genie=(float("nan") if syndrome
+                       else c.frame_errors_genie / c.frames),
+            seconds=dt, frames_per_sec=c.frames / dt if dt > 0 else 0.0,
+            fer_undetected=(c.frame_errors_undetected / c.frames
+                            if syndrome else None),
+            avg_iters=c.iters_sum / c.frames if syndrome else None)
 
     def run_curve(self, params: Params, snrs_db: Sequence[float],
                   key: jax.Array, **kw) -> List[FERPoint]:
