@@ -64,6 +64,22 @@ class AWGNChannel:
         b = sigma_lanes.shape[0]
         noise = jax.random.normal(key, (nz, b), jnp.float32)
         y = -1.0 + noise * sigma_lanes[None, :]          # all-zero word, BPSK -1
+        return self._llr(y, sigma_lanes)
+
+    def sample_codewords(self, key: jax.Array, sigma_lanes: jnp.ndarray,
+                         bits: jnp.ndarray) -> jnp.ndarray:
+        """Channel LLRs for explicit codeword bits [N*z, B] in {0,1} — the
+        reference's vestigial generator-matrix branch
+        (`Print_Functions.py:41-45`, `code_GM=[]` at `main_Base.py:154`)
+        made real; pair with `codes.encoder.Encoder`."""
+        nz = self.code.n_full
+        b = sigma_lanes.shape[0]
+        noise = jax.random.normal(key, (nz, b), jnp.float32)
+        s = 2.0 * bits.astype(jnp.float32) - 1.0         # bit b -> (-1)^(1-b)
+        y = s + noise * sigma_lanes[None, :]
+        return self._llr(y, sigma_lanes)
+
+    def _llr(self, y: jnp.ndarray, sigma_lanes: jnp.ndarray) -> jnp.ndarray:
         llr = 2.0 * y / (sigma_lanes[None, :] ** 2)       # p1/p0 LLR
         if self.decoding_type == QMS:
             llr = quantize_llr(llr, self.q_bit)

@@ -129,7 +129,8 @@ def _cmd_simulate(args) -> int:
     ch = AWGNChannel(code, decoding_type=args.decoding_type, q_bit=args.q_bit)
     mesh = data_mesh() if args.mesh else None
     sim = FERSimulator(dec, ch, batch=args.batch, mesh=mesh,
-                       inner_steps=args.inner_steps, stop=args.stop)
+                       inner_steps=args.inner_steps, stop=args.stop,
+                       codewords=args.codewords)
     key = jax.random.PRNGKey(args.seed)
     points = sim.run_curve(params, args.snrs, key,
                            max_frames=args.max_frames,
@@ -201,6 +202,9 @@ def main(argv=None) -> int:
     pm.add_argument("--backend", choices=["auto", "xla", "pallas"],
                     default="auto",
                     help="decoder backend (auto: fused Pallas kernel on TPU)")
+    pm.add_argument("--codewords", choices=["zero", "random"], default="zero",
+                    help="random: encode fresh random messages per batch "
+                         "(GF(2) encoder) instead of the all-zero word")
     pm.add_argument("--stop", choices=["genie", "syndrome"], default="genie",
                     help="genie: reference metric semantics (fixed iters); "
                          "syndrome: deployable per-frame early termination "

@@ -83,9 +83,22 @@ class FERSimulator:
     def __init__(self, decoder: NMSDecoder, channel: AWGNChannel,
                  batch: int = 1024, mesh: Optional[Mesh] = None,
                  data_axis: str = "data", inner_steps: int = 1,
-                 stop: str = "genie"):
+                 stop: str = "genie", codewords: str = "zero"):
         if stop not in ("genie", "syndrome"):
             raise ValueError(f"bad stop mode {stop!r}")
+        if codewords not in ("zero", "random"):
+            raise ValueError(f"bad codewords mode {codewords!r}")
+        # codewords='random': encode fresh random messages each batch
+        # (codes/encoder.py) and transmit them instead of the all-zero word.
+        # The decode itself runs on sign-folded LLRs vs the zero word —
+        # exact for continuous channels (under QMS, zero-LLR tie-breaking
+        # follows the reference's zero-word semantics; see
+        # tests/test_encoder.py) — so both backends and all stop modes work
+        # unchanged while the encoder+modulator path is genuinely exercised.
+        self.codewords = codewords
+        if codewords == "random":
+            from ldpc_error_floor_tpu.codes.encoder import Encoder
+            self._encoder = Encoder(decoder.graph)
         self.decoder = decoder
         self.channel = channel
         self.batch = batch
@@ -118,8 +131,14 @@ class FERSimulator:
     def _local_step(self, params: Params, key: jax.Array, sigma: jnp.ndarray,
                     local_batch: int):
         """Returns (counter tuple, llr, failure mask) for one local batch."""
-        llr = self.channel.sample(key, jnp.full((local_batch,), sigma,
-                                                jnp.float32))
+        sig = jnp.full((local_batch,), sigma, jnp.float32)
+        if self.codewords == "random":
+            kb, kn = jax.random.split(key)
+            bits = self._encoder.random_codewords(kb, local_batch)
+            llr = self.channel.sample_codewords(kn, sig, bits)
+            llr = llr * (1.0 - 2.0 * bits)  # symmetry fold -> zero-word ref
+        else:
+            llr = self.channel.sample(key, sig)
         if self.stop == "syndrome":
             res = self.decoder.apply(params, llr, collect="deploy")
             counters = (jnp.sum(res.bit_errors).astype(jnp.int32),
