@@ -48,8 +48,8 @@ from ldpc_error_floor_tpu.pipelines.config import (ExperimentConfig,
                                                    SAMPLING_READ_UNCOR)
 from ldpc_error_floor_tpu.pipelines.evaluate import Evaluator
 from ldpc_error_floor_tpu.training.schedule import training_blocks
-from ldpc_error_floor_tpu.training.train import (make_optimizer,
-                                                 make_train_step,
+from ldpc_error_floor_tpu.training.train import (make_epoch_step,
+                                                 make_optimizer,
                                                  set_learning_rate)
 
 
@@ -131,8 +131,6 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         decoder = NMSDecoder(code, dcfg, spec, graph=graph)
         optimizer = make_optimizer(cfg.learn_rate_start)
         opt_state = optimizer.init(params)
-        train_step = make_train_step(decoder, spec, cfg.loss_type, start, end,
-                                     cfg.fixed_init, optimizer=optimizer)
         t_lo = max(start - cfg.fixed_init, cfg.fixed_iter)
         eb = eval_batch or cfg.batch_size
         need_loss = bool(cfg.eval_loss) or cfg.opt_metric == 3
@@ -148,17 +146,24 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
                               batch=eb, compute_loss=need_loss)
         nbits = decoder.target * code.z
         labels = jnp.zeros((nbits, cfg.batch_size), jnp.float32)
-
-        @jax.jit
-        def sample_batch(k):
-            return channel.sample(k, train_sigmas)
+        n_train_batches = cfg.training_num // cfg.batch_size
+        # whole-epoch on-device runner: one dispatch per epoch instead of
+        # one per batch (the reference's per-batch sess.run, main_Base:151)
+        data_mode = cfg.sampling_type == SAMPLING_READ_UNCOR
+        epoch_step = make_epoch_step(
+            decoder, spec, cfg.loss_type, start, end, cfg.fixed_init,
+            optimizer, n_steps=n_train_batches, labels=labels,
+            channel=channel, sigmas=train_sigmas, data_mode=data_mode)
+        data_train_dev = None
+        if data_mode:
+            data_train_dev = jnp.asarray(
+                data_train[:n_train_batches * cfg.batch_size], jnp.float32)
 
         etha_curr = cfg.etha_start
         lr_curr = cfg.learn_rate_start
         opt_valid = opt_test = 1e5
         best_metric = 1e5
         history: List[dict] = []
-        n_train_batches = cfg.training_num // cfg.batch_size
 
         # full-state checkpoint/resume (beyond the reference's weight dumps)
         first_epoch = 0
@@ -182,20 +187,18 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         for epoch in range(first_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()
             avg_loss = 0.0
-            if epoch > 0 and cfg.sampling_type != SAMPLING_COLLECT:
+            if (epoch > 0 and cfg.sampling_type != SAMPLING_COLLECT
+                    and n_train_batches > 0):
                 set_learning_rate(opt_state, lr_curr)
-                for bi in range(n_train_batches):
-                    if cfg.sampling_type == SAMPLING_AWGN:
-                        key, sub = jax.random.split(key)
-                        llr = sample_batch(sub)
-                    else:
-                        rows = data_train[bi * cfg.batch_size:
-                                          (bi + 1) * cfg.batch_size]
-                        llr = jnp.asarray(rows.T)
-                    state, loss = train_step(params, opt_state, llr, labels,
-                                             jnp.float32(etha_curr))
-                    params, opt_state = state.params, state.opt_state
-                    avg_loss += float(loss) / n_train_batches
+                if data_mode:
+                    params, opt_state, loss = epoch_step(
+                        params, opt_state, data_train_dev,
+                        jnp.float32(etha_curr))
+                else:
+                    key, sub = jax.random.split(key)
+                    params, opt_state, loss = epoch_step(
+                        params, opt_state, sub, jnp.float32(etha_curr))
+                avg_loss = float(loss)
             t_train = time.perf_counter() - t0
 
             # dump weights + train log

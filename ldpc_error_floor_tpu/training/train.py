@@ -43,14 +43,10 @@ def set_learning_rate(opt_state, lr: float):
     return opt_state
 
 
-def make_train_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
-                    train_start: int, train_end: int, fixed_init: int = 0,
-                    optimizer: Optional[optax.GradientTransformation] = None,
-                    donate: bool = True) -> Callable:
-    """Build a jitted (params, opt_state, llr, labels, etha) -> (state, loss)
-    step for the training block [train_start, train_end)."""
-    if optimizer is None:
-        optimizer = make_optimizer()
+def _make_step_body(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
+                    train_start: int, train_end: int, fixed_init: int,
+                    optimizer: optax.GradientTransformation) -> Callable:
+    """Un-jitted (params, opt_state, llr, labels, etha) -> (state, loss)."""
     masks = trainable_mask(spec, train_start, train_end, fixed_init)
     mask_arrays: Dict[str, Optional[jnp.ndarray]] = {
         k: (None if v is None else jnp.asarray(v[:, None], jnp.float32))
@@ -71,5 +67,71 @@ def make_train_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
         params = clip_weights(spec, params)
         return TrainState(params, opt_state), loss
 
+    return step
+
+
+def make_train_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
+                    train_start: int, train_end: int, fixed_init: int = 0,
+                    optimizer: Optional[optax.GradientTransformation] = None,
+                    donate: bool = True) -> Callable:
+    """Build a jitted (params, opt_state, llr, labels, etha) -> (state, loss)
+    step for the training block [train_start, train_end)."""
+    if optimizer is None:
+        optimizer = make_optimizer()
+    step = _make_step_body(decoder, spec, loss_type, train_start, train_end,
+                           fixed_init, optimizer)
     donate_args = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_epoch_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
+                    train_start: int, train_end: int, fixed_init: int,
+                    optimizer: optax.GradientTransformation,
+                    n_steps: int, labels: jnp.ndarray,
+                    channel=None, sigmas: Optional[jnp.ndarray] = None,
+                    data_mode: bool = False) -> Callable:
+    """On-device epoch runner: `n_steps` train steps under one `lax.scan`,
+    sampling the channel (or slicing an uploaded dataset) inside jit.
+
+    The reference dispatches one session.run per batch
+    (`main_Base.py:151-162`); over a remote/tunneled accelerator the
+    per-dispatch host round-trip then dominates, so here the whole epoch is
+    one dispatch.  Step semantics are identical to `make_train_step` —
+    the key schedule matches `jax.random.split(key, n_steps)`.
+
+    Returns a jitted callable:
+      data_mode=False: (params, opt_state, key, etha)  -> (params, opt_state, mean_loss)
+      data_mode=True:  (params, opt_state, data, etha) -> (params, opt_state, mean_loss)
+        where data is [n_steps*B, nbits] host-uploaded rows.
+    """
+    body = _make_step_body(decoder, spec, loss_type, train_start, train_end,
+                           fixed_init, optimizer)
+    batch = labels.shape[-1]
+
+    if data_mode:
+        def epoch(params, opt_state, data, etha):
+            def scan_body(carry, i):
+                p, o = carry
+                llr = jax.lax.dynamic_slice_in_dim(data, i * batch, batch,
+                                                   axis=0).T
+                (p, o), loss = body(p, o, llr, labels, etha)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                scan_body, (params, opt_state), jnp.arange(n_steps))
+            return params, opt_state, jnp.mean(losses)
+    else:
+        def epoch(params, opt_state, key, etha):
+            subs = jax.random.split(key, n_steps)
+
+            def scan_body(carry, sub):
+                p, o = carry
+                llr = channel.sample(sub, sigmas)
+                (p, o), loss = body(p, o, llr, labels, etha)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                scan_body, (params, opt_state), subs)
+            return params, opt_state, jnp.mean(losses)
+
+    return jax.jit(epoch, donate_argnums=(0, 1))

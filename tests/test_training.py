@@ -111,3 +111,72 @@ def test_temporal_sharing_trains_single_row():
     after = np.asarray(params["cn"])
     np.testing.assert_array_equal(after[0], before[0])  # below pivot: frozen
     assert not np.allclose(after[1], before[1])         # shared row trains
+
+
+def test_epoch_runner_matches_sequential_steps():
+    """The on-device epoch scan must reproduce make_train_step exactly
+    (same key schedule: jax.random.split(key, n_steps))."""
+    from ldpc_error_floor_tpu.training.train import make_epoch_step
+
+    code, graph, spec, dec, ch = _setup(n_iters=3)
+    params = init_weights(spec, graph)
+    opt = make_optimizer(1e-2)
+    opt_state = opt.init(params)
+    B, n_steps = 32, 4
+    sigmas = jnp.asarray(mix_sigma_lanes(code.snr_sigmas([2.0, 3.0]), B))
+    labels = jnp.zeros((code.n_full, B), jnp.float32)
+    key = jax.random.PRNGKey(13)
+    etha = jnp.float32(0.5)
+
+    # sequential reference (no donation so inputs stay alive)
+    step = make_train_step(dec, spec, loss_type=0, train_start=0, train_end=3,
+                           optimizer=opt, donate=False)
+    p_ref, o_ref = params, opt_state
+    losses = []
+    for sub in jax.random.split(key, n_steps):
+        llr = ch.sample(sub, sigmas)
+        (p_ref, o_ref), loss = step(p_ref, o_ref, llr, labels, etha)
+        losses.append(float(loss))
+
+    runner = make_epoch_step(dec, spec, loss_type=0, train_start=0,
+                             train_end=3, fixed_init=0, optimizer=opt,
+                             n_steps=n_steps, labels=labels, channel=ch,
+                             sigmas=sigmas)
+    p_run, o_run, mean_loss = runner(params, opt_state, key, etha)
+    for k in params:
+        if params[k] is not None:
+            np.testing.assert_allclose(np.asarray(p_run[k]),
+                                       np.asarray(p_ref[k]), rtol=2e-6)
+    np.testing.assert_allclose(float(mean_loss), np.mean(losses), rtol=2e-6)
+
+
+def test_epoch_runner_data_mode_slices_in_order():
+    from ldpc_error_floor_tpu.training.train import make_epoch_step
+
+    code, graph, spec, dec, ch = _setup(n_iters=3)
+    params = init_weights(spec, graph)
+    opt = make_optimizer(1e-2)
+    opt_state = opt.init(params)
+    B, n_steps = 16, 3
+    labels = jnp.zeros((code.n_full, B), jnp.float32)
+    sigmas = jnp.full((B,), float(code.snr_sigmas([2.0])[0]), jnp.float32)
+    rows = np.asarray(jax.vmap(lambda k: ch.sample(k, sigmas).T)(
+        jax.random.split(jax.random.PRNGKey(3), n_steps))).reshape(
+            n_steps * B, code.n_full)
+
+    step = make_train_step(dec, spec, loss_type=0, train_start=0, train_end=3,
+                           optimizer=opt, donate=False)
+    p_ref, o_ref = params, opt_state
+    for i in range(n_steps):
+        llr = jnp.asarray(rows[i * B:(i + 1) * B].T)
+        (p_ref, o_ref), _ = step(p_ref, o_ref, llr, labels, jnp.float32(0.0))
+
+    runner = make_epoch_step(dec, spec, loss_type=0, train_start=0,
+                             train_end=3, fixed_init=0, optimizer=opt,
+                             n_steps=n_steps, labels=labels, data_mode=True)
+    p_run, _, _ = runner(params, opt_state, jnp.asarray(rows),
+                         jnp.float32(0.0))
+    for k in params:
+        if params[k] is not None:
+            np.testing.assert_allclose(np.asarray(p_run[k]),
+                                       np.asarray(p_ref[k]), rtol=2e-6)
