@@ -126,6 +126,21 @@ def _cmd_simulate(args) -> int:
         params = load_params(spec, graph, args.weights)
     else:
         params = init_weights(spec, graph)
+    if args.base_weights:
+        # boosted composition: overwrite iterations [0, boundary) with the
+        # base stage's rows (reference main_Post frozen-prefix load,
+        # Main_Functions.py:390-391,419-422)
+        from ldpc_error_floor_tpu.models import compose_boosted_params
+        boundary = args.boundary or args.fixed_iter
+        if not 0 < boundary <= args.iters:
+            raise SystemExit("--base-weights needs --boundary (or "
+                             "--fixed-iter) in (0, iters]")
+        base_spec = WeightSpec(
+            sharing=tuple(args.base_sharing or args.sharing),
+            n_iters=boundary)
+        base_params = load_params(base_spec, graph, args.base_weights)
+        params = compose_boosted_params(graph, base_spec, base_params,
+                                        spec, params)
     ch = AWGNChannel(code, decoding_type=args.decoding_type, q_bit=args.q_bit)
     mesh = data_mesh() if args.mesh else None
     sim = FERSimulator(dec, ch, batch=args.batch, mesh=mesh,
@@ -183,6 +198,13 @@ def main(argv=None) -> int:
     pm.add_argument("--weights", default=None,
                     help="weight file / bundled set (default: all-ones)")
     pm.add_argument("--sharing", type=int, nargs=3, default=[3, 3, 3])
+    pm.add_argument("--base-weights", default=None, dest="base_weights",
+                    help="boosted composition: base-stage weight set for "
+                         "iterations [0, boundary)")
+    pm.add_argument("--base-sharing", type=int, nargs=3, default=None,
+                    dest="base_sharing")
+    pm.add_argument("--boundary", type=int, default=0,
+                    help="base/post boundary iteration (default: --fixed-iter)")
     pm.add_argument("--iters", type=int, default=20)
     pm.add_argument("--fixed-iter", type=int, default=0, dest="fixed_iter")
     pm.add_argument("--decoding-type", type=int, default=2, dest="decoding_type")

@@ -62,3 +62,30 @@ def test_boosted_prefix_matches_standalone_base():
     np.testing.assert_array_equal(
         np.asarray(boosted.base_failure_mask(res_b)),
         np.asarray(res_s.uncor_mask))
+
+
+def test_cli_simulate_boosted_composition(tmp_path, capsys):
+    """`simulate --base-weights ... --boundary ...` composes and runs."""
+    import json
+
+    from ldpc_error_floor_tpu.cli import main
+    from ldpc_error_floor_tpu.io.weight_files import write_weight_file
+    from ldpc_error_floor_tpu.models import params_to_blocks
+
+    code = get_code("MACKAY_N96_K48")
+    graph = TannerGraph(code)
+    base_spec = WeightSpec(sharing=(3, 0, 3), n_iters=3)
+    base = init_weights(base_spec, graph, init_cn=0.9)
+    base_file = str(tmp_path / "base.txt")
+    write_weight_file(base_file, (3, 0, 3), params_to_blocks(base_spec, base))
+
+    rc = main(["simulate", "--code", "MACKAY_N96_K48",
+               "--sharing", "3", "0", "3", "--iters", "5",
+               "--base-weights", base_file, "--boundary", "3",
+               "--decoding-type", "1", "--snrs", "2.0",
+               "--batch", "64", "--max-frames", "128",
+               "--target-errors", "1000000", "--backend", "xla"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    pt = json.loads(line)
+    assert pt["frames"] == 128 and 0.0 <= pt["fer_genie"] <= 1.0
