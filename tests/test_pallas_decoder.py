@@ -41,6 +41,9 @@ CASES = [
     ("802_11n_N648_R56_z27", (3, 0, 3), 2, 5, 3),   # z=27: padded sublane rolls
     ("5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320",
      (2, 2, 2), 2, 5, 3),                           # punctured/shortened code
+    ("wman_N0576_R34_z24", (4, 4, 5), 2, 5, 5),     # temporal sharing (JSAC
+    #   dynamic weight sharing): rows past fixed_iter reuse the pivot row
+    ("wman_N0576_R34_z24", (5, 5, 5), 1, 5, 4),
 ]
 
 
@@ -48,7 +51,9 @@ CASES = [
 def test_fused_matches_scan(code_name, sharing, dec, q, T):
     code = get_code(code_name)
     graph = TannerGraph(code)
-    spec = WeightSpec(sharing=sharing, n_iters=T)
+    temporal = any(s in (4, 5) for s in sharing)
+    spec = WeightSpec(sharing=sharing, n_iters=T,
+                      fixed_iter=2 if temporal else 0)
     cfg = DecoderConfig(decoding_type=dec, q_bit=q)
     dec_scan = NMSDecoder(code, cfg, spec, graph=graph)
     kern = FusedNMSKernel(graph, cfg, spec, tb=8, interpret=True)
