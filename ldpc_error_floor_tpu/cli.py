@@ -120,6 +120,7 @@ def _cmd_simulate(args) -> int:
                                          q_bit=args.q_bit, backend=backend,
                                          pallas_tb=tb,
                                          pallas_early_stop=args.early_stop,
+                                         neural_mode=args.neural_mode,
                                          target_node=target),
                      spec, graph=graph)
     if args.weights:
@@ -208,6 +209,10 @@ def main(argv=None) -> int:
     pm.add_argument("--iters", type=int, default=20)
     pm.add_argument("--fixed-iter", type=int, default=0, dest="fixed_iter")
     pm.add_argument("--decoding-type", type=int, default=2, dest="decoding_type")
+    pm.add_argument("--neural-mode", choices=["scale", "offset"],
+                    default="scale", dest="neural_mode",
+                    help="scale: multiplicative NMS weights (reference); "
+                         "offset: trainable offset min-sum (OMS)")
     pm.add_argument("--q-bit", type=int, default=5, dest="q_bit")
     pm.add_argument("--snrs", type=float, nargs="+", required=True)
     pm.add_argument("--batch", type=int, default=4096)

@@ -54,6 +54,11 @@ class DecoderConfig:
     decoding_type: int = QMS
     q_bit: int = 5
     clip_llr: float = 20.0
+    neural_mode: str = "scale"  # 'scale': multiplicative CN/UCN weights (the
+    #   reference's NMS, Main_Functions.py:267-316); 'offset': trainable
+    #   additive offsets, wmag = relu(mag - beta) — neural offset min-sum
+    #   (arXiv:1701.05931), the variant fixed-point hardware prefers.  Uses
+    #   the same sharing/UCN machinery; VN weights stay multiplicative.
     target_node: int = 0  # >0: restrict outputs/metrics to first `target_node`
     #                        proto columns (systematic option, main_Base.py:29)
     remat: bool = False  # checkpoint each scan step (for deep training runs)
@@ -68,6 +73,8 @@ class DecoderConfig:
     def __post_init__(self):
         if self.decoding_type not in (SP, MS, QMS, MS_RAW):
             raise ValueError(f"bad decoding_type {self.decoding_type}")
+        if self.neural_mode not in ("scale", "offset"):
+            raise ValueError(f"bad neural_mode {self.neural_mode!r}")
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"bad backend {self.backend!r}")
         if self.backend == "pallas" and self.track_syndrome:
@@ -310,7 +317,7 @@ class NMSDecoder:
                 if spec.ucn_enabled:
                     w_u = self._cn_weight(x["ucn"], spec.sharing[1])
                     w = w * (1.0 - u) + w_u * u
-                wmag = mag * w
+                wmag = mag - w if cfg.neural_mode == "offset" else mag * w
             wmag = wmag * (wmag > 0.0)
             if qms:
                 wmag = quantize_ste(wmag, cfg.q_bit)

@@ -393,7 +393,7 @@ class FusedNMSKernel:
             if u_i is not None:
                 wu = self._read_cn_w(w_ucn_ref, t, i, e, self.spec.sharing[1])
                 w = w * (1.0 - u_i) + wu * u_i
-            wmag = mag * w
+            wmag = mag - w if self.cfg.neural_mode == "offset" else mag * w
         else:
             wmag = mag
         wmag = jnp.maximum(wmag, 0.0)

@@ -30,6 +30,7 @@ class ExperimentConfig:
     sharing: Tuple[int, int, int] = (3, 0, 3)   # (CN, UCN, VN)
     decoding_type: int = 2                      # 0 SP, 1 MS, 2 QMS
     q_bit: int = 5
+    neural_mode: str = "scale"                  # 'scale' (reference NMS) or 'offset' (OMS)
     systematic: int = 0
     clip_llr: float = 20.0
 
@@ -102,6 +103,8 @@ class ExperimentConfig:
             raise ValueError("UCN sharing must equal CN sharing when enabled")
         if self.decoding_type not in (0, 1, 2, 3):
             raise ValueError(f"bad decoding_type {self.decoding_type}")
+        if self.neural_mode not in ("scale", "offset"):
+            raise ValueError(f"bad neural_mode {self.neural_mode!r}")
         return dataclasses.replace(self, snrs=snrs)
 
     # ----- (de)serialization ---------------------------------------------------

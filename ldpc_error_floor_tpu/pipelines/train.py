@@ -127,7 +127,7 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
 
         dcfg = DecoderConfig(decoding_type=cfg.decoding_type, q_bit=cfg.q_bit,
                              clip_llr=cfg.clip_llr, target_node=target_node,
-                             remat=True)
+                             neural_mode=cfg.neural_mode, remat=True)
         decoder = NMSDecoder(code, dcfg, spec, graph=graph)
         optimizer = make_optimizer(cfg.learn_rate_start)
         opt_state = optimizer.init(params)

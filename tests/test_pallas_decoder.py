@@ -114,3 +114,36 @@ def test_early_stop_genie_exact():
     uncor_f = np.asarray(jnp.all(err_f, axis=0))
     uncor_e = np.asarray(jnp.all(err_e, axis=0))
     np.testing.assert_array_equal(uncor_f, uncor_e)
+
+
+def test_offset_min_sum_kernel_matches_scan():
+    """neural_mode='offset' (OMS, arXiv:1701.05931): kernel vs scan."""
+    code = get_code("wman_N0576_R34_z24")
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=(2, 2, 2), n_iters=5)
+    cfg = DecoderConfig(decoding_type=2, q_bit=5, neural_mode="offset")
+    dec_scan = NMSDecoder(code, cfg, spec, graph=graph)
+    kern = FusedNMSKernel(graph, cfg, spec, tb=8, interpret=True)
+
+    key = jax.random.PRNGKey(4)
+    params = init_weights(spec, graph)
+    # random offsets in [0, 0.6] (VN weights stay multiplicative ~1)
+    for k in ("cn", "ucn"):
+        key, sub = jax.random.split(key)
+        params[k] = 0.6 * jax.random.uniform(sub, params[k].shape)
+    chan = AWGNChannel(code, decoding_type=2, q_bit=5)
+    llr = chan.sample(jax.random.PRNGKey(8),
+                      jnp.full((16,), float(code.snr_sigmas([3.0])[0])))
+
+    ref = dec_scan.decode(params, llr, collect="stats")
+    app, err, nerr = kern.decode_stats(stack_weights(spec, params), llr)
+    np.testing.assert_allclose(np.asarray(app), np.asarray(ref.app_last),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(err), np.asarray(ref.err_flags))
+    np.testing.assert_array_equal(np.asarray(nerr), np.asarray(ref.bit_errors))
+    # offsets actually bite: zero-offset decode differs
+    p0 = dict(params, cn=jnp.zeros_like(params["cn"]),
+              ucn=jnp.zeros_like(params["ucn"]))
+    ref0 = dec_scan.decode(p0, llr, collect="stats")
+    assert not np.array_equal(np.asarray(ref0.bit_errors),
+                              np.asarray(ref.bit_errors))

@@ -180,3 +180,29 @@ def test_epoch_runner_data_mode_slices_in_order():
         if params[k] is not None:
             np.testing.assert_allclose(np.asarray(p_run[k]),
                                        np.asarray(p_ref[k]), rtol=2e-6)
+
+
+def test_offset_min_sum_trains():
+    """OMS offsets are trainable through the same block machinery."""
+    code, graph, spec, _, ch = _setup(n_iters=4, sharing=(2, 0, 2))
+    spec = WeightSpec(sharing=(2, 0, 2), n_iters=4, min_w=0.0, max_w=1.0)
+    dec = NMSDecoder(code, DecoderConfig(decoding_type=1,
+                                         neural_mode="offset", remat=True),
+                     spec, graph=graph)
+    params = init_weights(spec, graph, init_cn=0.0, init_vn=1.0)
+    opt = make_optimizer(5e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(dec, spec, loss_type=0, train_start=0, train_end=4,
+                           optimizer=opt, donate=False)
+    B = 128
+    sigmas = jnp.asarray(mix_sigma_lanes(code.snr_sigmas([2.0]), B))
+    labels = jnp.zeros((code.n_full, B), jnp.float32)
+    losses = []
+    for sub in jax.random.split(jax.random.PRNGKey(2), 20):
+        llr = ch.sample(sub, sigmas)
+        (params, opt_state), loss = step(params, opt_state, llr, labels,
+                                         jnp.float32(0.0))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    cn = np.asarray(params["cn"])
+    assert cn.min() >= 0.0 and cn.max() <= 1.0 and cn.max() > 0.0
