@@ -117,12 +117,28 @@ def init_weights(spec: WeightSpec, graph: TannerGraph,
     return params
 
 
-def clip_weights(spec: WeightSpec, params: Params) -> Params:
+def clip_weights(spec: WeightSpec, params: Params,
+                 masks: Optional[Dict[str, Optional[jnp.ndarray]]] = None
+                 ) -> Params:
     """The [min_w, max_w] box constraint, applied after every optimizer step
     (reference enforces it as a TF variable constraint,
-    `Main_Functions.py:434`)."""
-    return {k: (None if v is None else jnp.clip(v, spec.min_w, spec.max_w))
-            for k, v in params.items()}
+    `Main_Functions.py:434`).
+
+    The reference attaches the constraint per-variable, only to variables it
+    creates as trainable — frozen-prefix rows loaded from a file are never
+    clipped.  Pass the trainable-row `masks` (shape-broadcastable to each
+    kind's rows, e.g. from `trainable_mask`) to reproduce that: rows outside
+    the mask pass through unclipped."""
+    out: Params = {}
+    for k, v in params.items():
+        if v is None:
+            out[k] = None
+            continue
+        clipped = jnp.clip(v, spec.min_w, spec.max_w)
+        if masks is not None and masks.get(k) is not None:
+            clipped = jnp.where(masks[k] > 0, clipped, v)
+        out[k] = clipped
+    return out
 
 
 def stack_weights(spec: WeightSpec, params: Params) -> Dict[str, Optional[jnp.ndarray]]:

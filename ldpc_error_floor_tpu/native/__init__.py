@@ -25,12 +25,27 @@ _lock = threading.Lock()
 _lib = None  # None = not tried; False = unavailable; else CDLL
 
 
+def _cache_lib_path() -> str:
+    """Per-user cache location, so the native fast path also works for
+    read-only site-packages installs (the package dir is tried first)."""
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "ldpc_error_floor_tpu", "_uncor_codec.so")
+
+
 def _build() -> str:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB_PATH + ".tmp", _SRC]
-    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
-    return _LIB_PATH
+    last_err: Exception = RuntimeError("no build target")
+    for target in (_LIB_PATH, _cache_lib_path()):
+        try:
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                   "-o", target + ".tmp", _SRC]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(target + ".tmp", target)
+            return target
+        except (OSError, subprocess.SubprocessError) as e:
+            last_err = e
+    raise last_err
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -47,9 +62,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _lib = False
             return None
         try:
-            fresh = (os.path.exists(_LIB_PATH) and
-                     os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC))
-            path = _LIB_PATH if fresh else _build()
+            path = None
+            for cand in (_LIB_PATH, _cache_lib_path()):
+                if (os.path.exists(cand) and
+                        os.path.getmtime(cand) >= os.path.getmtime(_SRC)):
+                    path = cand
+                    break
+            if path is None:
+                path = _build()
             lib = ctypes.CDLL(path)
             lib.uncor_count.restype = ctypes.c_long
             lib.uncor_count.argtypes = [ctypes.c_char_p,

@@ -192,7 +192,11 @@ class FusedNMSKernel:
                 if vn_mode > 0:
                     wv = w_vn_ref[t, j] if vn_mode in (2, 5) else w_vn_ref[t, 0]
                     x = x * wv
-                if qms and vn_mode > 0:
+                # quantized regardless of vn_mode, matching the scan backend
+                # (models/nms.py step 1) and reference Main_Functions.py:176-177
+                # so raw (unquantized) LLR inputs decode identically on both
+                # backends
+                if qms:
                     x = self._quantize(x)
                 llr_w.append(x)
 

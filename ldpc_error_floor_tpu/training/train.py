@@ -64,7 +64,10 @@ def _make_step_body(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                  for k, g in grads.items()}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params = clip_weights(spec, params)
+        # clip only trainable rows: frozen-prefix rows loaded from a file
+        # must pass through untouched (reference attaches the box constraint
+        # per trainable variable only, Main_Functions.py:434)
+        params = clip_weights(spec, params, masks=mask_arrays)
         return TrainState(params, opt_state), loss
 
     return step

@@ -147,3 +147,30 @@ def test_offset_min_sum_kernel_matches_scan():
     ref0 = dec_scan.decode(p0, llr, collect="stats")
     assert not np.array_equal(np.asarray(ref0.bit_errors),
                               np.asarray(ref.bit_errors))
+
+
+def test_raw_unquantized_llr_parity():
+    """QMS with no VN weights fed *raw* (unquantized) LLRs: the kernel must
+    quantize the channel input exactly like the scan backend does
+    (reference Main_Functions.py:176-177 quantizes unconditionally).
+    Regression test for a hole where the kernel only quantized when VN
+    weights were enabled."""
+    code = get_code("wman_N0576_R34_z24")
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=(3, 0, 0), n_iters=5)  # vn_mode == 0
+    cfg = DecoderConfig(decoding_type=2, q_bit=5)
+    dec_scan = NMSDecoder(code, cfg, spec, graph=graph)
+    kern = FusedNMSKernel(graph, cfg, spec, tb=8, interpret=True)
+    params = _random_params(spec, graph, jax.random.PRNGKey(11))
+    # raw float LLRs straight off the channel, NOT pre-quantized
+    chan = AWGNChannel(code, decoding_type=1)  # MS channel: no quantization
+    llr = chan.sample(jax.random.PRNGKey(12),
+                      jnp.full((16,), float(code.snr_sigmas([3.0])[0])))
+    assert not np.allclose(np.asarray(llr),
+                           np.round(np.asarray(llr) * 2.0) / 2.0)
+    ref = dec_scan.decode(params, llr, collect="stats")
+    app, err, nerr = kern.decode_stats(stack_weights(spec, params), llr)
+    np.testing.assert_allclose(np.asarray(app), np.asarray(ref.app_last),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(err), np.asarray(ref.err_flags))
+    np.testing.assert_array_equal(np.asarray(nerr), np.asarray(ref.bit_errors))

@@ -206,3 +206,56 @@ def test_offset_min_sum_trains():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
     cn = np.asarray(params["cn"])
     assert cn.min() >= 0.0 and cn.max() <= 1.0 and cn.max() > 0.0
+
+
+def test_frozen_rows_outside_box_survive_clip():
+    """Frozen-prefix rows whose file values lie outside [min_w, max_w] must
+    pass through training untouched — the reference's box constraint attaches
+    only to the trainable variables it creates (Main_Functions.py:434)."""
+    code, graph, spec, dec, ch = _setup(n_iters=6)
+    params = init_weights(spec, graph)
+    # frozen rows 0..3 hold out-of-box values (box is [0, 2])
+    params["cn"] = params["cn"].at[:4].set(2.5)
+    params["vn"] = params["vn"].at[:4].set(-0.5)
+    opt = make_optimizer(1e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(dec, spec, loss_type=1, train_start=4, train_end=6,
+                           optimizer=opt, donate=False)
+    sig = jnp.asarray(mix_sigma_lanes(code.snr_sigmas([2.0]), 32))
+    labels = jnp.zeros((code.n_full, 32), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        (params, opt_state), _ = step(params, opt_state, ch.sample(sub, sig),
+                                      labels, jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(params["cn"])[:4], 2.5)
+    np.testing.assert_array_equal(np.asarray(params["vn"])[:4], -0.5)
+    # trainable rows still respect the box
+    assert np.asarray(params["cn"])[4:].max() <= 2.0
+    assert np.asarray(params["vn"])[4:].min() >= 0.0
+
+
+def test_set_learning_rate_changes_applied_update():
+    """Epoch-wise lr decay (main_Base.py:194-195): mutating the injected
+    hyperparam must change the update magnitude of the already-jitted step."""
+    from ldpc_error_floor_tpu.training.train import set_learning_rate
+
+    code, graph, spec, dec, ch = _setup(n_iters=3)
+    params = init_weights(spec, graph)
+    opt = make_optimizer(1e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(dec, spec, loss_type=0, train_start=0, train_end=3,
+                           optimizer=opt, donate=False)
+    sig = jnp.asarray(mix_sigma_lanes(code.snr_sigmas([2.0]), 32))
+    labels = jnp.zeros((code.n_full, 32), jnp.float32)
+    llr = ch.sample(jax.random.PRNGKey(9), sig)
+
+    (p1, o1), _ = step(params, opt_state, llr, labels, jnp.float32(0.0))
+    d_full = np.abs(np.asarray(p1["cn"]) - np.asarray(params["cn"])).max()
+
+    o_small = set_learning_rate(opt_state, 1e-6)
+    (p2, _), _ = step(params, o_small, llr, labels, jnp.float32(0.0))
+    d_small = np.abs(np.asarray(p2["cn"]) - np.asarray(params["cn"])).max()
+
+    assert d_full > 0.0
+    assert d_small < d_full * 1e-2, (d_full, d_small)
