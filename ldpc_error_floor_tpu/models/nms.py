@@ -35,7 +35,7 @@ from jax import lax
 from ldpc_error_floor_tpu.codes.graph import TannerGraph
 from ldpc_error_floor_tpu.codes.protograph import Code
 from ldpc_error_floor_tpu.models.weights import Params, WeightSpec, stack_weights
-from ldpc_error_floor_tpu.ops.ste import quantize_ste
+from ldpc_error_floor_tpu.ops.ste import clip_tf_grad, quantize_ste
 
 # decoding types, matching the reference's `decoding_type` codes
 SP = 0   # sum-product (tanh/atanh)
@@ -127,6 +127,60 @@ def _extrinsic_min(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     b = jnp.concatenate([lax.slice_in_dim(inc_b, 1, x.shape[axis], axis=axis),
                          ident], axis=axis)
     return jnp.minimum(f, b)
+
+
+@jax.custom_vjp
+def _extrinsic_min_slots(amag: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot extrinsic min over axis 1: out[.., d, ..] = min over j != d of
+    amag[.., j, ..].  Forward uses the cheap min1/min2 construction; backward
+    reproduces the reference's `tf.reduce_min` gradient over the masked
+    [E, E] tile (`Main_Functions.py:248-250`), which SPLITS the gradient
+    EQUALLY AMONG TIES.  Ties are the common case under QMS (values live on
+    a 0.5-step grid), so tie handling is part of training parity — verified
+    against executed-reference gradients in tests/test_reference_trace.py."""
+    return _ext_min_fwd(amag)
+
+
+def _ext_min_fwd(amag):
+    m1 = jnp.min(amag, axis=1, keepdims=True)
+    i1 = jnp.argmin(amag, axis=1)
+    slot = jnp.arange(amag.shape[1]).reshape((1, -1) + (1,) * (amag.ndim - 2))
+    is_first = slot == i1[:, None]
+    m2 = jnp.min(jnp.where(is_first, _PAD_MAG, amag), axis=1, keepdims=True)
+    return jnp.where(is_first, m2, m1)
+
+
+def _ext_min_vjp_fwd(amag):
+    return _ext_min_fwd(amag), amag
+
+
+def _ext_min_vjp_bwd(amag, g):
+    m1 = jnp.min(amag, axis=1, keepdims=True)
+    i1 = jnp.argmin(amag, axis=1)
+    slot = jnp.arange(amag.shape[1]).reshape((1, -1) + (1,) * (amag.ndim - 2))
+    is_first = slot == i1[:, None]
+    m2 = jnp.min(jnp.where(is_first, _PAD_MAG, amag), axis=1, keepdims=True)
+    is_m1 = amag == m1
+    is_m2 = amag == m2
+    c1 = jnp.sum(is_m1, axis=1, keepdims=True).astype(g.dtype)
+    c2 = jnp.maximum(jnp.sum(is_m2, axis=1, keepdims=True), 1).astype(g.dtype)
+    g_above = jnp.sum(jnp.where(is_m1, 0.0, g), axis=1, keepdims=True)
+    g_min = jnp.sum(jnp.where(is_m1, g, 0.0), axis=1, keepdims=True)
+    multi = c1 > 1.0
+    # slots tied at m1: each of the other c1-1 tied rows selects this slot
+    # (weight 1/(c1-1)); every strictly-larger row selects all c1 tied slots
+    # (weight 1/c1).  Unique-min slot: selected once by every other row.
+    tied_recv = jnp.where(multi,
+                          g_above / c1 +
+                          (g_min - g) / jnp.maximum(c1 - 1.0, 1.0),
+                          g_above)
+    # slots at m2 matter only when the min is unique (its own row selects them)
+    m2_recv = jnp.where(multi, 0.0, g_min / c2)
+    out = jnp.where(is_m1, tied_recv, jnp.where(is_m2, m2_recv, 0.0))
+    return (out,)
+
+
+_extrinsic_min_slots.defvjp(_ext_min_vjp_fwd, _ext_min_vjp_bwd)
 
 
 def _extrinsic_prod(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
@@ -277,9 +331,13 @@ class NMSDecoder:
             if qms:
                 v2c = quantize_ste(v2c, cfg.q_bit)
             else:
-                v2c = jnp.clip(v2c, -cfg.clip_llr, cfg.clip_llr)
+                v2c = clip_tf_grad(v2c, -cfg.clip_llr, cfg.clip_llr)
             if cfg.decoding_type in (MS, QMS):
-                v2c = jnp.where(v2c == 0.0, _EPS_MSG, v2c)
+                # additive form: forward 0 -> eps, backward gradient 1
+                # (reference Main_Functions.py:230 adds eps*(1-indicator);
+                # a where() would zero the gradient at exact zeros, which
+                # QMS hits constantly)
+                v2c = v2c + _EPS_MSG * (v2c == 0.0).astype(jnp.float32)
 
             # (4) route to check-node-major arrangement (circulant shifts)
             v2c_flat = jnp.concatenate([v2c.reshape(N * Dv * z, B), zero_row], 0)
@@ -288,22 +346,18 @@ class NMSDecoder:
             # (5) CN update — reference 231-263
             if cfg.decoding_type == SP:
                 tt = jnp.tanh(-0.5 * xc)
-                tt = jnp.where(tt == 0.0, 1.0, tt)  # structural pads & zeros -> 1
+                # structural pads & zeros -> 1 (additive, gradient 1,
+                # matching reference Main_Functions.py:241)
+                tt = tt + (tt == 0.0).astype(jnp.float32)
                 prod = _extrinsic_prod(tt)
                 prod = jnp.clip(prod, -1.0 + 1e-7, 1.0 - 1e-7)
                 out = -2.0 * jnp.arctanh(prod)
                 mag = jnp.abs(out)
             else:
-                amag = jnp.where(xc == 0.0, _PAD_MAG, jnp.abs(xc))
+                amag = jnp.abs(xc) + _PAD_MAG * (xc == 0.0).astype(jnp.float32)
                 sgn = jnp.where(xc > 0.0, -1.0, 1.0)
-                # extrinsic min via min1/min2 (cheaper fwd+bwd than the
-                # cumulative-scan formulation, identical values)
-                i1 = jnp.argmin(amag, axis=1)                       # [M, z, B]
-                m1 = jnp.min(amag, axis=1)
-                slot = jnp.arange(Dc)[None, :, None, None]
-                is_min = slot == i1[:, None]
-                m2 = jnp.min(jnp.where(is_min, _PAD_MAG, amag), axis=1)
-                mag = jnp.where(is_min, m2[:, None], m1[:, None])
+                # extrinsic min with the reference's tie-splitting backward
+                mag = _extrinsic_min_slots(amag)
                 mag = jnp.where(jnp.abs(mag) <= _EPS_MSG, mag - _EPS_MSG, mag)
                 # extrinsic sign product = total product * own sign (sgn^2=1)
                 out = mag * (-(jnp.prod(sgn, axis=1, keepdims=True) * sgn))
@@ -322,7 +376,7 @@ class NMSDecoder:
             if qms:
                 wmag = quantize_ste(wmag, cfg.q_bit)
             else:
-                wmag = jnp.clip(wmag, -cfg.clip_llr, cfg.clip_llr)
+                wmag = clip_tf_grad(wmag, -cfg.clip_llr, cfg.clip_llr)
             c2v = wmag * jnp.sign(out)
 
             # (7) route back to variable-node-major arrangement
@@ -330,8 +384,8 @@ class NMSDecoder:
             y = c2v_flat[self._vn_in].reshape(N, Dv, z, B)
 
             # (8) APP and hard decisions — reference 317-335
-            app = jnp.clip(llr_app + jnp.sum(y, axis=1), -cfg.clip_llr,
-                           cfg.clip_llr)                          # [N, z, B]
+            app = clip_tf_grad(llr_app + jnp.sum(y, axis=1), -cfg.clip_llr,
+                               cfg.clip_llr)                      # [N, z, B]
             app_flat = app.reshape(N * z, B)
             bits = (app_flat >= 0.0).astype(jnp.float32)
 

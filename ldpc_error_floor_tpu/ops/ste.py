@@ -42,13 +42,27 @@ def quantize_llr(x, q_bit: int):
     return jnp.clip(jnp.round(x / step) * step, -clip, clip)
 
 
+def clip_tf_grad(x, lo: float, hi: float):
+    """clip with TensorFlow's `clip_by_value` gradient: 1 for lo <= x <= hi
+    INCLUSIVE, 0 outside.  jnp.clip lowers to min/max whose gradient at an
+    exact tie is 0.5 — and quantized values sit exactly on clip boundaries
+    all the time, so the half-gradient is a systematic training-parity
+    break (caught by tests/test_reference_trace.py)."""
+    clipped = jnp.clip(x, lo, hi)
+    inside = jnp.logical_and(x >= lo, x <= hi).astype(x.dtype)
+    lin = x * inside
+    return lin + lax.stop_gradient(clipped - lin)
+
+
 def quantize_ste(x, q_bit: int):
     """STE quantizer: forward = round-to-grid + clip, backward = identity
-    inside [-clip, clip], zero outside (matches `Cal_MSA_Q_TF`)."""
+    inside [-clip, clip] inclusive, zero outside (matches `Cal_MSA_Q_TF`,
+    whose backward is TF's clip_by_value gradient)."""
     step, clip = qms_grid(q_bit)
     q = jnp.clip(jnp.round(x / step) * step, -clip, clip)
-    clipped = jnp.clip(x, -clip, clip)
-    return clipped + lax.stop_gradient(q - clipped)
+    inside = (jnp.abs(x) <= clip).astype(x.dtype)
+    lin = x * inside
+    return lin + lax.stop_gradient(q - lin)
 
 
 def inv_exp(x):

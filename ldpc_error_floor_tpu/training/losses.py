@@ -35,8 +35,10 @@ def multi_iteration_loss(apps: jnp.ndarray, labels: jnp.ndarray,
 
     if loss_type == BCE:
         lab = labels.astype(jnp.float32)[None]
-        per_elem = jnp.maximum(apps, 0.0) - apps * lab + jnp.log1p(
-            jnp.exp(-jnp.abs(apps)))
+        # softplus form: gradient is exactly sigmoid(apps) - lab everywhere,
+        # including apps == 0.0 (which QMS hits constantly) — matching TF's
+        # registered analytic gradient for sigmoid_cross_entropy_with_logits
+        per_elem = jax.nn.softplus(apps) - apps * lab
         per_t = jnp.mean(per_elem, axis=(1, 2))
     elif loss_type == SOFT_BER:
         per_t = jnp.mean(jax.nn.sigmoid(apps), axis=(1, 2))
