@@ -98,18 +98,22 @@ def main():
             return jnp.sum(errs[-1])
         return jax.jit(step)
 
+    # sweep the baseline until its throughput PEAKS (or it OOMs), so
+    # vs_baseline compares best-vs-best rather than best-vs-small-batch
     best_d = (0.0, 0)
-    for batch in (20, 128, 512):
+    for batch in (20, 128, 512, 2048, 4096, 8192, 16384):
         try:
             dt = time_step(make_dense_step(batch), (key, sigma), iters=10)
         except Exception as e:
             log(f"dense batch {batch}: failed ({type(e).__name__})")
-            continue
+            break
         rate = batch / dt
         log(f"dense-ref batch {batch}: {rate:,.0f} codewords/s "
             f"({dt*1e3:.2f} ms/step)")
         if rate > best_d[0]:
             best_d = (rate, batch)
+        elif rate < 0.9 * best_d[0]:
+            break  # past the peak
     dense_rate, dense_batch = best_d
 
     vs = ours / dense_rate if dense_rate else float("nan")
