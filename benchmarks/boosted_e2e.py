@@ -92,7 +92,8 @@ def phase_split(run_dir: str, uncor: str, n_train: int, n_valid: int,
 
 
 def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
-                     n_valid: int, n_test: int, lr: float, seed: int) -> str:
+                     n_valid: int, n_test: int, lr: float, seed: int,
+                     eval_batch: int = 0) -> str:
     from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_training
     out = os.path.join(run_dir, "Weights", f"{PREFIX}_Opt_Weight_End30.txt")
     if os.path.exists(out):
@@ -112,7 +113,7 @@ def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
         input_dir=os.path.join(run_dir, "Inputs"),
         checkpoint_every=10, resume=1)
     t0 = time.perf_counter()
-    res = run_training(cfg, verbose=True)
+    res = run_training(cfg, verbose=True, eval_batch=eval_batch or None)
     log(f"post training done in {time.perf_counter() - t0:.0f} s; "
         f"best valid genie-FER(sum) {res.best_metric:.4f}")
     return out
@@ -191,6 +192,10 @@ def main() -> int:
     p.add_argument("--split", type=int, nargs=3, default=[10000, 5000, 5000])
     p.add_argument("--post-epochs", type=int, default=40)
     p.add_argument("--post-batch", type=int, default=500)
+    p.add_argument("--post-eval-batch", type=int, default=0,
+                   help="validation/test batch during post training "
+                        "(0 = use --post-batch); a larger value folds the "
+                        "5k-word eval splits into a few device dispatches")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--eval-snrs", type=float, nargs="+",
                    default=[4.0, 4.25, 4.5])
@@ -210,7 +215,8 @@ def main() -> int:
     phase_split(args.run_dir, uncor, *args.split)
     post = phase_post_train(args.run_dir, args.post_epochs, args.post_batch,
                             args.split[0], args.split[1], args.split[2],
-                            args.lr, args.seed)
+                            args.lr, args.seed,
+                            eval_batch=args.post_eval_batch)
     results = phase_eval(args.run_dir, post, args.eval_snrs,
                          args.target_errors, args.max_frames,
                          args.eval_batch, args.seed)

@@ -69,9 +69,11 @@ def _cmd_init_config(args) -> int:
 
 
 def _cmd_train(args) -> int:
+    from ldpc_error_floor_tpu.parallel import data_mesh
     from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_training
     cfg = ExperimentConfig.from_json(args.config)
-    res = run_training(cfg, eval_batch=args.eval_batch)
+    mesh = data_mesh(args.mesh_devices) if args.mesh else None
+    res = run_training(cfg, eval_batch=args.eval_batch, mesh=mesh)
     print(f"done; best metric {res.best_metric:.3e}")
     return 0
 
@@ -156,10 +158,36 @@ def _cmd_simulate(args) -> int:
     return 0
 
 
+def _init_distributed(args) -> None:
+    """Multi-host wiring: `jax.distributed.initialize` from CLI flags or the
+    LDPC_TPU_COORDINATOR / LDPC_TPU_NUM_PROCESSES / LDPC_TPU_PROCESS_ID
+    environment (SURVEY.md section 5.8).  No-op single-host."""
+    import os
+
+    from ldpc_error_floor_tpu.parallel import initialize_distributed
+    coord = args.coordinator or os.environ.get("LDPC_TPU_COORDINATOR")
+    if not coord:
+        return
+    nprocs = args.num_processes
+    if nprocs is None and os.environ.get("LDPC_TPU_NUM_PROCESSES"):
+        nprocs = int(os.environ["LDPC_TPU_NUM_PROCESSES"])
+    pid = args.process_id
+    if pid is None and os.environ.get("LDPC_TPU_PROCESS_ID"):
+        pid = int(os.environ["LDPC_TPU_PROCESS_ID"])
+    initialize_distributed(coordinator_address=coord, num_processes=nprocs,
+                           process_id=pid)
+
+
 def main(argv=None) -> int:
     from ldpc_error_floor_tpu.utils import enable_compile_cache
     enable_compile_cache()
     p = argparse.ArgumentParser(prog="ldpc_error_floor_tpu")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(or env LDPC_TPU_COORDINATOR)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   dest="num_processes")
+    p.add_argument("--process-id", type=int, default=None, dest="process_id")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("codes", help="list bundled codes")
@@ -178,6 +206,12 @@ def main(argv=None) -> int:
     pt = sub.add_parser("train", help="train a decoder (base or post)")
     pt.add_argument("--config", required=True)
     pt.add_argument("--eval-batch", type=int, default=None)
+    pt.add_argument("--mesh", action="store_true",
+                    help="data-parallel training: shard each batch over all "
+                         "devices (params replicated, grads psum'd over ICI)")
+    pt.add_argument("--mesh-devices", type=int, default=None,
+                    dest="mesh_devices",
+                    help="use only the first N devices of the mesh")
 
     pl = sub.add_parser("collect", help="harvest uncorrected words")
     pl.add_argument("--config", required=True)
@@ -245,6 +279,7 @@ def main(argv=None) -> int:
                          "(reference `systematic` option, main_Base.py:29)")
 
     args = p.parse_args(argv)
+    _init_distributed(args)
     return {"codes": _cmd_codes, "weights": _cmd_weights,
             "convert-weights": _cmd_convert_weights,
             "init-config": _cmd_init_config,

@@ -1,4 +1,6 @@
-from ldpc_error_floor_tpu.parallel.mesh import (data_mesh,
-                                                initialize_distributed)
+from ldpc_error_floor_tpu.parallel.mesh import (batch_constraint, data_mesh,
+                                                initialize_distributed,
+                                                replicate)
 
-__all__ = ["data_mesh", "initialize_distributed"]
+__all__ = ["batch_constraint", "data_mesh", "initialize_distributed",
+           "replicate"]

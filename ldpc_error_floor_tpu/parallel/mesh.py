@@ -8,11 +8,11 @@ index, and error counters / gradients reduce with `psum` over ICI/DCN."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -33,3 +33,22 @@ def data_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_constraint(mesh: Optional[Mesh], axis: str = "data") -> Callable:
+    """Sharding constraint for ``[nbits, B]`` batch tensors: batch lanes
+    (the trailing axis) split over the mesh's data axis, bit dimension
+    replicated.  Identity when `mesh` is None, so single-device code paths
+    are unchanged.  Used inside jitted train/eval steps so GSPMD shards the
+    Monte-Carlo batch and all-reduces gradients/counters over ICI."""
+    if mesh is None:
+        return lambda x: x
+    sharding = NamedSharding(mesh, P(None, axis))
+    return lambda x: jax.lax.with_sharding_constraint(x, sharding)
+
+
+def replicate(mesh: Optional[Mesh], tree):
+    """Place a pytree fully replicated on the mesh (no-op without a mesh)."""
+    if mesh is None:
+        return tree
+    return jax.device_put(tree, NamedSharding(mesh, P()))

@@ -83,9 +83,18 @@ def _opt_metric_value(results: np.ndarray, opt_metric: int) -> float:
 
 
 def run_training(cfg: ExperimentConfig, verbose: bool = True,
-                 eval_batch: Optional[int] = None) -> TrainResult:
+                 eval_batch: Optional[int] = None,
+                 mesh=None) -> TrainResult:
+    """With `mesh` (a 1-D ``('data',)`` `jax.sharding.Mesh`), every train and
+    eval batch is sharded over the mesh's data axis (params replicated,
+    gradients/counters reduced over ICI by GSPMD).  The reference's analog
+    is a single-GPU pin (`main_Base.py:14-15`); here the same pipeline
+    scales to a pod slice unchanged."""
     cfg = cfg.validate()
     code = _load_code(cfg)
+    if mesh is not None and cfg.batch_size % mesh.shape["data"] != 0:
+        raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
+                         f"mesh data axis ({mesh.shape['data']} devices)")
     graph = TannerGraph(code)
     target_node = (code.N - code.M) if cfg.systematic else 0
     os.makedirs(cfg.out_dir, exist_ok=True)
@@ -125,9 +134,14 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
             params = partial_update_from_blocks(spec, params, blocks, start,
                                                 graph)
 
+        # remat bounds activation memory for deep scans at large batch; at
+        # small batches it's unnecessary AND this image's TPU compiler
+        # SIGSEGVs on remat'd scan bodies with tiny lane dims (verified:
+        # batch 20 + remat crashes tpu_compile_helper, batch 128 is fine)
+        remat = cfg.batch_size >= 128
         dcfg = DecoderConfig(decoding_type=cfg.decoding_type, q_bit=cfg.q_bit,
                              clip_llr=cfg.clip_llr, target_node=target_node,
-                             neural_mode=cfg.neural_mode, remat=True)
+                             neural_mode=cfg.neural_mode, remat=remat)
         decoder = NMSDecoder(code, dcfg, spec, graph=graph)
         optimizer = make_optimizer(cfg.learn_rate_start)
         opt_state = optimizer.init(params)
@@ -143,7 +157,7 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
                                           else 128),
                 spec, graph=graph)
         evaluator = Evaluator(eval_decoder, channel, cfg.loss_type, t_lo=t_lo,
-                              batch=eb, compute_loss=need_loss)
+                              batch=eb, compute_loss=need_loss, mesh=mesh)
         nbits = decoder.target * code.z
         labels = jnp.zeros((nbits, cfg.batch_size), jnp.float32)
         n_train_batches = cfg.training_num // cfg.batch_size
@@ -153,7 +167,12 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         epoch_step = make_epoch_step(
             decoder, spec, cfg.loss_type, start, end, cfg.fixed_init,
             optimizer, n_steps=n_train_batches, labels=labels,
-            channel=channel, sigmas=train_sigmas, data_mode=data_mode)
+            channel=channel, sigmas=train_sigmas, data_mode=data_mode,
+            mesh=mesh)
+        if mesh is not None:
+            from ldpc_error_floor_tpu.parallel.mesh import replicate
+            params = replicate(mesh, params)
+            opt_state = replicate(mesh, opt_state)
         data_train_dev = None
         if data_mode:
             data_train_dev = jnp.asarray(

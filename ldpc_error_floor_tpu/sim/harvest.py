@@ -79,22 +79,29 @@ class UncorHarvester:
 
     def _drain(self, count, picked) -> List[np.ndarray]:
         """Pull this batch's compacted hits to the host (device->host
-        traffic is at most cap columns per device)."""
+        traffic is at most cap columns per device).
+
+        Multi-process safe: only this process's *addressable* shards are
+        read (a multi-host global array cannot be np.asarray'd wholesale),
+        so each host drains exactly the hits its own devices found."""
         out: List[np.ndarray] = []
         if self.mesh is None:
             c = int(count)
             if c:
                 out.append(np.asarray(picked[:, :min(c, self.cap)]).T)
-        else:
-            counts = np.asarray(count)
-            pk = None
-            if counts.sum():
-                pk = np.asarray(picked)  # [N*z, ndev*cap]
-            for d, c in enumerate(counts):
+            return out
+        # count is [ndev] sharded over devices; picked is [N*z, ndev*cap]
+        # sharded over axis 1.  Map device ordinal -> local picked block.
+        blocks = {(s.index[1].start or 0): np.asarray(s.data)
+                  for s in picked.addressable_shards}
+        for s in count.addressable_shards:
+            d0 = s.index[0].start or 0
+            for off, c in enumerate(np.asarray(s.data).ravel()):
                 c = int(c)
-                if c:
-                    blk = pk[:, d * self.cap:(d + 1) * self.cap]
-                    out.append(blk[:, :min(c, self.cap)].T)
+                if not c:
+                    continue
+                blk = blocks[(d0 + off) * self.cap]
+                out.append(blk[:, :min(c, self.cap)].T)
         return out
 
     def collect(self, params: Params, snr_db: float, key: jax.Array,
@@ -105,6 +112,11 @@ class UncorHarvester:
         harvested LLRs [num, N*z] (p1/p0) and optionally appends them to
         `out_file` in the reference Uncor format."""
         sigma = jnp.float32(self.channel.code.snr_sigmas([snr_db])[0])
+        if out_file is not None and jax.process_count() > 1:
+            # per-host output files: harvesting rare large payloads must not
+            # gather across hosts (SURVEY.md section 5.8); concatenate the
+            # .part* files (or re-split them) afterwards
+            out_file = f"{out_file}.part{jax.process_index()}"
         words: List[np.ndarray] = []
         n_words = 0
         frames = 0

@@ -22,10 +22,12 @@ from typing import Callable, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh
 
 from ldpc_error_floor_tpu.models.nms import NMSDecoder
 from ldpc_error_floor_tpu.models.weights import (Params, WeightSpec, clip_weights,
                                                  trainable_mask)
+from ldpc_error_floor_tpu.parallel.mesh import batch_constraint
 from ldpc_error_floor_tpu.training.losses import multi_iteration_loss
 
 
@@ -45,15 +47,22 @@ def set_learning_rate(opt_state, lr: float):
 
 def _make_step_body(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                     train_start: int, train_end: int, fixed_init: int,
-                    optimizer: optax.GradientTransformation) -> Callable:
+                    optimizer: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None,
+                    data_axis: str = "data") -> Callable:
     """Un-jitted (params, opt_state, llr, labels, etha) -> (state, loss)."""
     masks = trainable_mask(spec, train_start, train_end, fixed_init)
     mask_arrays: Dict[str, Optional[jnp.ndarray]] = {
         k: (None if v is None else jnp.asarray(v[:, None], jnp.float32))
         for k, v in masks.items()}
     t_lo = max(train_start - fixed_init, spec.fixed_iter)
+    shard = batch_constraint(mesh, data_axis)
 
     def step(params: Params, opt_state, llr, labels, etha):
+        # data-parallel: batch lanes over the mesh; params replicated,
+        # gradients all-reduced by GSPMD (SURVEY.md section 5.8)
+        llr = shard(llr)
+        labels = shard(labels)
         def loss_fn(p):
             res = decoder.apply(p, llr, labels=labels, collect="apps")
             return multi_iteration_loss(res.apps, labels, loss_type, etha,
@@ -76,13 +85,16 @@ def _make_step_body(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
 def make_train_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                     train_start: int, train_end: int, fixed_init: int = 0,
                     optimizer: Optional[optax.GradientTransformation] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, mesh: Optional[Mesh] = None,
+                    data_axis: str = "data") -> Callable:
     """Build a jitted (params, opt_state, llr, labels, etha) -> (state, loss)
-    step for the training block [train_start, train_end)."""
+    step for the training block [train_start, train_end).  With `mesh`, the
+    batch is sharded over `data_axis` (params replicated)."""
     if optimizer is None:
         optimizer = make_optimizer()
     step = _make_step_body(decoder, spec, loss_type, train_start, train_end,
-                           fixed_init, optimizer)
+                           fixed_init, optimizer, mesh=mesh,
+                           data_axis=data_axis)
     donate_args = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
 
@@ -92,7 +104,8 @@ def make_epoch_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                     optimizer: optax.GradientTransformation,
                     n_steps: int, labels: jnp.ndarray,
                     channel=None, sigmas: Optional[jnp.ndarray] = None,
-                    data_mode: bool = False) -> Callable:
+                    data_mode: bool = False, mesh: Optional[Mesh] = None,
+                    data_axis: str = "data") -> Callable:
     """On-device epoch runner: `n_steps` train steps under one `lax.scan`,
     sampling the channel (or slicing an uploaded dataset) inside jit.
 
@@ -108,7 +121,8 @@ def make_epoch_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
         where data is [n_steps*B, nbits] host-uploaded rows.
     """
     body = _make_step_body(decoder, spec, loss_type, train_start, train_end,
-                           fixed_init, optimizer)
+                           fixed_init, optimizer, mesh=mesh,
+                           data_axis=data_axis)
     batch = labels.shape[-1]
 
     if data_mode:
