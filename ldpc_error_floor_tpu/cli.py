@@ -83,7 +83,7 @@ def _cmd_collect(args) -> int:
     cfg = ExperimentConfig.from_json(args.config)
     words = run_collection(cfg, weight_file=args.weights,
                            target_words=args.words, batch=args.batch,
-                           out_file=args.out)
+                           out_file=args.out, ckpt_path=args.ckpt)
     print(f"collected {words.shape[0]} uncorrected words -> {args.out}")
     return 0
 
@@ -152,7 +152,8 @@ def _cmd_simulate(args) -> int:
     key = jax.random.PRNGKey(args.seed)
     points = sim.run_curve(params, args.snrs, key,
                            max_frames=args.max_frames,
-                           target_frame_errors=args.target_errors)
+                           target_frame_errors=args.target_errors,
+                           ckpt_prefix=args.ckpt)
     for pt in points:
         print(json.dumps(vars(pt)))
     return 0
@@ -219,6 +220,9 @@ def main(argv=None) -> int:
     pl.add_argument("--words", type=int, default=20000)
     pl.add_argument("--batch", type=int, default=4096)
     pl.add_argument("--out", default="Uncor.txt")
+    pl.add_argument("--ckpt", default=None,
+                    help="JSON resume checkpoint: a killed harvest restarts "
+                         "from its last counters + RNG position")
 
     ps = sub.add_parser("split-uncor", help="split Uncor.txt into datasets")
     ps.add_argument("--uncor", required=True)
@@ -273,6 +277,10 @@ def main(argv=None) -> int:
                          "average iterations)")
     pm.add_argument("--early-stop", action="store_true", dest="early_stop",
                     help="genie-exact early termination (Pallas backend)")
+    pm.add_argument("--ckpt", default=None,
+                    help="resume-checkpoint prefix: per-SNR JSON files "
+                         "{ckpt}_snr{s}.json (deep error-floor sweeps "
+                         "survive preemption)")
     pm.add_argument("--systematic", action="store_true",
                     help="count errors over info (systematic) bits only — "
                          "excludes e.g. the degree-1 parity tail of 5G codes "

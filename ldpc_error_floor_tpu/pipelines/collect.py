@@ -26,7 +26,8 @@ def run_collection(cfg: ExperimentConfig, weight_file: Optional[str] = None,
                    target_words: int = 20000, batch: int = 4096,
                    out_file: str = "Uncor.txt", mesh=None,
                    max_frames: int = 1_000_000_000,
-                   backend: Optional[str] = None) -> np.ndarray:
+                   backend: Optional[str] = None,
+                   ckpt_path: Optional[str] = None) -> np.ndarray:
     """Collect `target_words` uncorrected words at cfg.snrs[0].
 
     `weight_file` defaults to the trained base decoder's best snapshot
@@ -61,7 +62,8 @@ def run_collection(cfg: ExperimentConfig, weight_file: Optional[str] = None,
     harvester = UncorHarvester(decoder, channel, batch=batch, mesh=mesh)
     key = jax.random.PRNGKey(cfg.seed)
     return harvester.collect(params, cfg.snrs[0], key, target_words,
-                             max_frames=max_frames, out_file=out_file)
+                             max_frames=max_frames, out_file=out_file,
+                             ckpt_path=ckpt_path)
 
 
 def split_uncor_dataset(uncor_file: str, code_name: str, input_dir: str,

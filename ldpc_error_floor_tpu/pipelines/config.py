@@ -42,6 +42,9 @@ class ExperimentConfig:
 
     # --- training ---
     sampling_type: int = SAMPLING_AWGN
+    train_on_zero_word: int = 1        # 0: encode random codewords per batch
+    #   and train BCE on the true bits (the reference's switch at
+    #   main_Base.py:70, whose generator branch is vestigial there)
     loss_type: int = 2                 # 0 BCE, 1 soft-BER, 2 soft-FER
     opt_metric: int = 1                # best-model metric: 0 BER_last, 1 FER_last,
     #                                    2 FER, 3 loss (opt_result_print)
@@ -105,6 +108,14 @@ class ExperimentConfig:
             raise ValueError(f"bad decoding_type {self.decoding_type}")
         if self.neural_mode not in ("scale", "offset"):
             raise ValueError(f"bad neural_mode {self.neural_mode!r}")
+        if not self.train_on_zero_word:
+            if self.sampling_type != SAMPLING_AWGN:
+                raise ValueError("train_on_zero_word=0 requires fresh-AWGN "
+                                 "sampling (sampling_type 0)")
+            if self.loss_type != 0:
+                raise ValueError("train_on_zero_word=0 requires BCE loss "
+                                 "(loss_type 0): the soft-BER/soft-FER "
+                                 "surrogates assume the all-zero codeword")
         return dataclasses.replace(self, snrs=snrs)
 
     # ----- (de)serialization ---------------------------------------------------

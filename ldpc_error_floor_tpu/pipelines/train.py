@@ -164,11 +164,15 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         # whole-epoch on-device runner: one dispatch per epoch instead of
         # one per batch (the reference's per-batch sess.run, main_Base:151)
         data_mode = cfg.sampling_type == SAMPLING_READ_UNCOR
+        encoder = None
+        if not cfg.train_on_zero_word:
+            from ldpc_error_floor_tpu.codes.encoder import Encoder
+            encoder = Encoder(graph)
         epoch_step = make_epoch_step(
             decoder, spec, cfg.loss_type, start, end, cfg.fixed_init,
             optimizer, n_steps=n_train_batches, labels=labels,
             channel=channel, sigmas=train_sigmas, data_mode=data_mode,
-            mesh=mesh)
+            mesh=mesh, encoder=encoder)
         if mesh is not None:
             from ldpc_error_floor_tpu.parallel.mesh import replicate
             params = replicate(mesh, params)

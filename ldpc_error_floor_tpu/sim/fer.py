@@ -21,6 +21,8 @@ Early stopping at a target frame-error count makes deep error-floor sweeps
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence
@@ -61,6 +63,31 @@ class SimCounters:
         self.frame_errors_last += int(fe)
         self.frame_errors_undetected += int(undet)
         self.iters_sum += int(iters)
+
+
+def _key_to_list(key) -> list:
+    a = np.asarray(key)
+    if a.dtype != np.uint32:  # new-style typed key
+        a = np.asarray(jax.random.key_data(key))
+    return [int(x) for x in a.ravel()]
+
+
+def _save_ckpt(path: str, obj: dict) -> None:
+    """Atomic JSON write (tmp + rename) so a crash never corrupts it."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _load_ckpt(path: Optional[str], snr_db: float) -> Optional[dict]:
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        obj = json.load(f)
+    if obj.get("snr_db") != float(snr_db):
+        return None
+    return obj
 
 
 @dataclass
@@ -208,23 +235,46 @@ class FERSimulator:
                   target_frame_errors: Optional[int] = 100,
                   min_frames: int = 0,
                   progress: Optional[Callable[[SimCounters], None]] = None,
-                  ) -> FERPoint:
+                  ckpt_path: Optional[str] = None,
+                  ckpt_every_s: float = 60.0) -> FERPoint:
         """Simulate one SNR point until `target_frame_errors` genie frame
-        errors or `max_frames` frames."""
+        errors or `max_frames` frames.
+
+        `ckpt_path`: JSON counter+RNG checkpoint for long sweeps (deep
+        error-floor points run for hours; the reference has no resumption
+        story at all).  The file is written atomically at most every
+        `ckpt_every_s` seconds; re-running with the same path resumes the
+        accumulated counters and RNG position exactly — the in-flight
+        batch at crash time is simply re-simulated, so a resumed run
+        counts every frame exactly once."""
         sigma = jnp.float32(self.channel.code.snr_sigmas([snr_db])[0])
         c = SimCounters()
+        resumed = _load_ckpt(ckpt_path, snr_db)
+        if resumed is not None:
+            for f in ("frames", "bit_errors_last", "frame_errors_last",
+                      "frame_errors_genie", "frame_errors_undetected",
+                      "iters_sum"):
+                setattr(c, f, int(resumed.get(f, 0)))
+            key = jnp.asarray(np.asarray(resumed["key"], np.uint32))
+        frames0 = c.frames
         t0 = time.perf_counter()
+        t_ckpt = t0
         frames_per_step = self.batch * self.inner_steps
         i = 0
         # One step is kept in flight past the host-side counter fetch, so
         # the device never idles on the (possibly tunneled) host round-trip.
+        # `key_unacc` is the RNG position that regenerates every batch not
+        # yet folded into the counters — what a resume must restart from.
         pending = None
-        if max_frames > 0:
+        key_unacc = key
+        if c.frames + frames_per_step <= max_frames or (
+                max_frames > 0 and c.frames == 0):
             key, sub = jax.random.split(key)
             pending = self._step(params, sub, sigma)
         syndrome = self.stop == "syndrome"
         while pending is not None:
             nxt = None
+            key_next = key
             if c.frames + 2 * frames_per_step <= max_frames:
                 key, sub = jax.random.split(key)
                 nxt = self._step(params, sub, sigma)
@@ -235,9 +285,21 @@ class FERSimulator:
                 c.add(frames_per_step, *pending)
                 stop_errors = c.frame_errors_genie
             pending = nxt
+            key_unacc = key_next
             i += 1
             if progress is not None and i % 50 == 0:
                 progress(c)
+            now = time.perf_counter()
+            if ckpt_path and now - t_ckpt >= ckpt_every_s:
+                t_ckpt = now
+                _save_ckpt(ckpt_path, {
+                    "snr_db": float(snr_db), "frames": c.frames,
+                    "bit_errors_last": c.bit_errors_last,
+                    "frame_errors_last": c.frame_errors_last,
+                    "frame_errors_genie": c.frame_errors_genie,
+                    "frame_errors_undetected": c.frame_errors_undetected,
+                    "iters_sum": c.iters_sum,
+                    "key": _key_to_list(key_unacc)})
             if (target_frame_errors is not None and c.frames >= min_frames
                     and stop_errors >= target_frame_errors):
                 break
@@ -249,15 +311,20 @@ class FERSimulator:
             fer_last=c.frame_errors_last / c.frames,
             fer_genie=(float("nan") if syndrome
                        else c.frame_errors_genie / c.frames),
-            seconds=dt, frames_per_sec=c.frames / dt if dt > 0 else 0.0,
+            seconds=dt,
+            frames_per_sec=(c.frames - frames0) / dt if dt > 0 else 0.0,
             fer_undetected=(c.frame_errors_undetected / c.frames
                             if syndrome else None),
             avg_iters=c.iters_sum / c.frames if syndrome else None)
 
     def run_curve(self, params: Params, snrs_db: Sequence[float],
-                  key: jax.Array, **kw) -> List[FERPoint]:
+                  key: jax.Array, ckpt_prefix: Optional[str] = None,
+                  **kw) -> List[FERPoint]:
+        """`ckpt_prefix`: per-SNR resume files `{prefix}_snr{s}.json` (a
+        killed multi-point sweep restarts mid-point, not from scratch)."""
         out = []
         for s in snrs_db:
             key, sub = jax.random.split(key)
-            out.append(self.run_point(params, s, sub, **kw))
+            ckpt = f"{ckpt_prefix}_snr{s}.json" if ckpt_prefix else None
+            out.append(self.run_point(params, s, sub, ckpt_path=ckpt, **kw))
         return out

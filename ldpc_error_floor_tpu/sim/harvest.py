@@ -107,10 +107,22 @@ class UncorHarvester:
     def collect(self, params: Params, snr_db: float, key: jax.Array,
                 target_words: int, max_frames: int = 1_000_000_000,
                 out_file: Optional[str] = None,
-                log_every: Optional[int] = None) -> np.ndarray:
+                log_every: Optional[int] = None,
+                ckpt_path: Optional[str] = None,
+                ckpt_every_s: float = 60.0) -> np.ndarray:
         """Harvest at one SNR until `target_words` failures; returns the
         harvested LLRs [num, N*z] (p1/p0) and optionally appends them to
-        `out_file` in the reference Uncor format."""
+        `out_file` in the reference Uncor format.
+
+        `ckpt_path`: JSON resume file for long harvests (collecting at a
+        1e-7-FER operating point is hours of decoding).  Counters and the
+        RNG position are checkpointed after the hits of each accounted
+        batch have been appended to `out_file`, so a resumed run continues
+        appending with no frame double-counted; the returned array then
+        holds only the words found since the resume (the rest are already
+        in `out_file`)."""
+        from ldpc_error_floor_tpu.sim.fer import (_key_to_list, _load_ckpt,
+                                                  _save_ckpt)
         sigma = jnp.float32(self.channel.code.snr_sigmas([snr_db])[0])
         if out_file is not None and jax.process_count() > 1:
             # per-host output files: harvesting rare large payloads must not
@@ -120,7 +132,13 @@ class UncorHarvester:
         words: List[np.ndarray] = []
         n_words = 0
         frames = 0
+        resumed = _load_ckpt(ckpt_path, snr_db)
+        if resumed is not None:
+            n_words = int(resumed["n_words"])
+            frames = int(resumed["frames"])
+            key = jnp.asarray(np.asarray(resumed["key"], np.uint32))
         t0 = time.perf_counter()
+        t_ckpt = t0
         while n_words < target_words and frames < max_frames:
             key, sub = jax.random.split(key)
             count, picked = self._step(params, sub, sigma)
@@ -131,6 +149,14 @@ class UncorHarvester:
                 n_words += g.shape[0]
                 if out_file is not None:
                     append_uncor_file(out_file, g)
+            now = time.perf_counter()
+            if ckpt_path and now - t_ckpt >= ckpt_every_s:
+                t_ckpt = now
+                # `key` (post-split) regenerates everything after this
+                # batch, whose hits are already appended on disk
+                _save_ckpt(ckpt_path, {"snr_db": float(snr_db),
+                                       "frames": frames, "n_words": n_words,
+                                       "key": _key_to_list(key)})
             if log_every and frames % log_every == 0:
                 dt = time.perf_counter() - t0
                 print(f"harvest: {n_words}/{target_words} words, "

@@ -105,7 +105,7 @@ def make_epoch_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                     n_steps: int, labels: jnp.ndarray,
                     channel=None, sigmas: Optional[jnp.ndarray] = None,
                     data_mode: bool = False, mesh: Optional[Mesh] = None,
-                    data_axis: str = "data") -> Callable:
+                    data_axis: str = "data", encoder=None) -> Callable:
     """On-device epoch runner: `n_steps` train steps under one `lax.scan`,
     sampling the channel (or slicing an uploaded dataset) inside jit.
 
@@ -138,13 +138,26 @@ def make_epoch_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                 scan_body, (params, opt_state), jnp.arange(n_steps))
             return params, opt_state, jnp.mean(losses)
     else:
+        nbits = labels.shape[0]
+
         def epoch(params, opt_state, key, etha):
             subs = jax.random.split(key, n_steps)
 
             def scan_body(carry, sub):
                 p, o = carry
-                llr = channel.sample(sub, sigmas)
-                (p, o), loss = body(p, o, llr, labels, etha)
+                if encoder is None:
+                    llr = channel.sample(sub, sigmas)
+                    lab = labels
+                else:
+                    # non-zero-codeword training (the reference's
+                    # train_on_zero_word=False switch, main_Base.py:70, made
+                    # real): encode fresh random messages, transmit them,
+                    # and train BCE against the true bits
+                    kb, kn = jax.random.split(sub)
+                    bits = encoder.random_codewords(kb, batch)
+                    llr = channel.sample_codewords(kn, sigmas, bits)
+                    lab = bits[:nbits]
+                (p, o), loss = body(p, o, llr, lab, etha)
                 return (p, o), loss
 
             (params, opt_state), losses = jax.lax.scan(
