@@ -120,6 +120,38 @@ def main():
     log(f"best ours: {ours:,.0f} cw/s @ batch {ours_batch}; "
         f"best dense-ref: {dense_rate:,.0f} cw/s @ batch {dense_batch}; "
         f"speedup {vs:.1f}x")
+
+    # --- secondary diagnostic: trained codewords/s (fwd+bwd+Adam) --------
+    # (the differentiable scan path; the headline metric above is decode)
+    from ldpc_error_floor_tpu.training.train import (make_optimizer,
+                                                     make_train_step)
+    spec_t = WeightSpec(sharing=(3, 0, 3), n_iters=T)
+    dec_t = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5,
+                                           remat=True), spec_t, graph=graph)
+    opt = make_optimizer(1e-3)
+    best_t = (0.0, 0)
+    for batch in ((2048, 8192, 16384) if on_tpu else (512,)):
+        try:
+            params_t = init_weights(spec_t, graph)
+            opt_state = opt.init(params_t)
+            labels = jnp.zeros((code.n_full, batch), jnp.float32)
+            llr = channel.sample(key, jnp.full((batch,), sigma, jnp.float32))
+            tstep = make_train_step(dec_t, spec_t, loss_type=2,
+                                    train_start=0, train_end=T,
+                                    optimizer=opt, donate=False)
+            dt = time_step(lambda p, o: tstep(p, o, llr, labels,
+                                              jnp.float32(0.0)),
+                           (params_t, opt_state), warmup=2, iters=10)
+        except Exception as e:
+            log(f"train batch {batch}: failed ({type(e).__name__})")
+            continue
+        rate = batch / dt
+        log(f"train[{'scan'}] batch {batch}: {rate:,.0f} trained cw/s "
+            f"({dt*1e3:.2f} ms/step)")
+        if rate > best_t[0]:
+            best_t = (rate, batch)
+    log(f"best trained: {best_t[0]:,.0f} cw/s @ batch {best_t[1]}")
+
     print(json.dumps({
         "metric": "decoded codewords/s/chip (N576, 20 iters)",
         "value": round(ours, 1),

@@ -183,6 +183,35 @@ def _ext_min_vjp_bwd(amag, g):
 _extrinsic_min_slots.defvjp(_ext_min_vjp_fwd, _ext_min_vjp_bwd)
 
 
+def _perm_router(idx_fwd: jnp.ndarray, idx_bwd: jnp.ndarray):
+    """Row gather ``y = x_pad[idx_fwd]`` whose backward is the *inverse
+    gather* (``idx_bwd``) instead of XLA's default scatter-add.
+
+    Valid because the two lifted routing maps (codes/graph.py cn_in_idx /
+    vn_in_idx) are mutual inverse permutations on real edge slots: each real
+    row is read by exactly one output slot, structural pads read the
+    sentinel (last) row, and the sentinel's primal is a constant zero
+    concat — so its (dropped) cotangent never reaches a differentiable
+    input.  TPU scatters serialize on the sparse core / VPU; this keeps the
+    whole decoder backward as vectorized gathers."""
+
+    @jax.custom_vjp
+    def route(x_pad):
+        return x_pad[idx_fwd]
+
+    def fwd(x_pad):
+        return x_pad[idx_fwd], None
+
+    def bwd(_, g):
+        zero = jnp.zeros((1,) + g.shape[1:], g.dtype)
+        g_pad = jnp.concatenate([g, zero], axis=0)
+        cot = g_pad[idx_bwd]
+        return (jnp.concatenate([cot, zero], axis=0),)
+
+    route.defvjp(fwd, bwd)
+    return route
+
+
 def _extrinsic_prod(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """For each slot d: product over all other slots along `axis` (identity 1)."""
     ident = jnp.ones_like(lax.slice_in_dim(x, 0, 1, axis=axis))
@@ -217,6 +246,9 @@ class NMSDecoder:
         self._vn_in = jnp.asarray(g.vn_in_idx)
         self._cn_vn = jnp.asarray(g.cn_vn_idx)
         self._cn_edge_idx = jnp.asarray(g.cn_slot_edge_idx)
+        # scatter-free routing (backward = the inverse permutation's gather)
+        self._route_cn = _perm_router(self._cn_in, self._vn_in)
+        self._route_vn = _perm_router(self._vn_in, self._cn_in)
         self._fused = None  # lazily-built Pallas kernels (backend='pallas')
         self._fused_deploy = None
         self._decode_jit = jax.jit(self._decode_impl,
@@ -341,7 +373,7 @@ class NMSDecoder:
 
             # (4) route to check-node-major arrangement (circulant shifts)
             v2c_flat = jnp.concatenate([v2c.reshape(N * Dv * z, B), zero_row], 0)
-            xc = v2c_flat[self._cn_in].reshape(M, Dc, z, B)
+            xc = self._route_cn(v2c_flat).reshape(M, Dc, z, B)
 
             # (5) CN update — reference 231-263
             if cfg.decoding_type == SP:
@@ -381,7 +413,7 @@ class NMSDecoder:
 
             # (7) route back to variable-node-major arrangement
             c2v_flat = jnp.concatenate([c2v.reshape(M * Dc * z, B), zero_row], 0)
-            y = c2v_flat[self._vn_in].reshape(N, Dv, z, B)
+            y = self._route_vn(c2v_flat).reshape(N, Dv, z, B)
 
             # (8) APP and hard decisions — reference 317-335
             app = clip_tf_grad(llr_app + jnp.sum(y, axis=1), -cfg.clip_llr,
