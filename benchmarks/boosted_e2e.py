@@ -34,8 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 CODE = "wman_N0576_R34_z24"
-BASE_WEIGHTS = "wman_N0576_R34_z24_base20"  # bundled published base weights
 PREFIX = f"C0_{CODE}"
+# set from CLI args in main(); defaults = the NeurIPS'23 20+10 pipeline
+BASE_WEIGHTS = "wman_N0576_R34_z24_base20"
+BASE_ITERS = 20
+TOTAL_ITERS = 30
 
 
 def log(msg: str) -> None:
@@ -49,12 +52,13 @@ def phase_base_weights(run_dir: str) -> str:
     from ldpc_error_floor_tpu.io.weight_files import write_weight_file
     from ldpc_error_floor_tpu.models import (WeightSpec, load_params,
                                              params_to_blocks)
-    out = os.path.join(run_dir, "Weights", f"{PREFIX}_Opt_Weight_End20.txt")
+    out = os.path.join(run_dir, "Weights",
+                       f"{PREFIX}_Opt_Weight_End{BASE_ITERS}.txt")
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
     graph = TannerGraph(get_code(CODE))
-    spec = WeightSpec(sharing=(3, 3, 3), n_iters=20)
+    spec = WeightSpec(sharing=(3, 3, 3), n_iters=BASE_ITERS)
     params = load_params(spec, graph, BASE_WEIGHTS)
     write_weight_file(out, (3, 3, 3), params_to_blocks(spec, params))
     log(f"wrote frozen base prefix -> {out}")
@@ -69,7 +73,8 @@ def phase_collect(run_dir: str, snr: float, words: int, batch: int,
     if os.path.exists(uncor) and read_uncor_file(uncor).shape[0] >= words:
         log(f"collection already done ({uncor})")
         return uncor
-    cfg = ExperimentConfig(code=CODE, sharing=(3, 3, 3), iters_max=20,
+    cfg = ExperimentConfig(code=CODE, sharing=(3, 3, 3),
+                           iters_max=BASE_ITERS,
                            snrs=[snr], seed=seed,
                            out_dir=os.path.join(run_dir, "Weights"))
     t0 = time.perf_counter()
@@ -95,7 +100,8 @@ def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
                      n_valid: int, n_test: int, lr: float, seed: int,
                      eval_batch: int = 0) -> str:
     from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_training
-    out = os.path.join(run_dir, "Weights", f"{PREFIX}_Opt_Weight_End30.txt")
+    out = os.path.join(run_dir, "Weights",
+                       f"{PREFIX}_Opt_Weight_End{TOTAL_ITERS}.txt")
     if os.path.exists(out):
         log(f"post training already done ({out})")
         return out
@@ -103,7 +109,8 @@ def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
     # 200 epochs x 500 steps on a 2080 Ti)
     cfg = ExperimentConfig(
         code=CODE, sharing=(3, 3, 3), decoding_type=2, q_bit=5,
-        iters_max=30, fixed_iter=20, iter_step=10, fixed_init=0,
+        iters_max=TOTAL_ITERS, fixed_iter=BASE_ITERS,
+        iter_step=TOTAL_ITERS - BASE_ITERS, fixed_init=0,
         sampling_type=1, loss_type=2, opt_metric=2,
         etha_start=0.0, learn_rate_start=lr,
         batch_size=batch, training_num=n_train, epochs=epochs,
@@ -143,8 +150,8 @@ def phase_eval(run_dir: str, post_file: str, snrs, target_errors: int,
     from ldpc_error_floor_tpu.models import load_params
     results = {"base": [], "boosted": []}
 
-    for tag, iters, weights in (("base", 20, BASE_WEIGHTS),
-                                ("boosted", 30, post_file)):
+    for tag, iters, weights in (("base", BASE_ITERS, BASE_WEIGHTS),
+                                ("boosted", TOTAL_ITERS, post_file)):
         dec, sim, spec, graph = _make_sim(iters, batch)
         params = load_params(spec, graph, weights)
         key = jax.random.PRNGKey(seed + 1)
@@ -164,7 +171,7 @@ def phase_eval(run_dir: str, post_file: str, snrs, target_errors: int,
     # held-out rescue rate: harvested test words the post stage corrects
     test_file = os.path.join(run_dir, "Inputs", f"[Uncor]_{CODE}_Test.txt")
     rows = read_uncor_file(test_file)
-    dec, _, spec, graph = _make_sim(30, batch)
+    dec, _, spec, graph = _make_sim(TOTAL_ITERS, batch)
     params = load_params(spec, graph, post_file)
     tb = dec.cfg.pallas_tb if dec.cfg.backend == "pallas" else 1
     n = (rows.shape[0] // tb) * tb
@@ -203,7 +210,17 @@ def main() -> int:
     p.add_argument("--max-frames", type=int, default=200_000_000)
     p.add_argument("--eval-batch", type=int, default=131072)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--base-weights", default="wman_N0576_R34_z24_base20",
+                   help="bundled weight set (or file) for the frozen base "
+                        "stage, e.g. wman_N0576_R34_z24_iter50")
+    p.add_argument("--base-iters", type=int, default=20)
+    p.add_argument("--total-iters", type=int, default=30)
     args = p.parse_args()
+
+    global BASE_WEIGHTS, BASE_ITERS, TOTAL_ITERS
+    BASE_WEIGHTS = args.base_weights
+    BASE_ITERS = args.base_iters
+    TOTAL_ITERS = args.total_iters
 
     from ldpc_error_floor_tpu.utils import enable_compile_cache
     enable_compile_cache()
