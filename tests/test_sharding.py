@@ -117,3 +117,21 @@ def test_inner_steps_int32_headroom_clamp(setup):
     sim = FERSimulator(dec, ch, batch=1 << 20, inner_steps=1 << 20)
     nbits = dec.target * dec.z
     assert sim.inner_steps * (1 << 20) * nbits < 2 ** 31
+
+
+def test_collection_pipeline_mesh_pallas(setup, tmp_path):
+    """run_collection's mesh + Pallas path (per-device kernel tiles inside
+    shard_map) — interpret mode on the CPU test platform."""
+    from ldpc_error_floor_tpu.models import DecoderConfig, NMSDecoder
+    code, dec, ch, params = setup
+    mesh = data_mesh(8)
+    dec_p = NMSDecoder(code, DecoderConfig(decoding_type=1, backend="pallas",
+                                           pallas_tb=8), dec.spec,
+                       graph=dec.graph)
+    h_p = UncorHarvester(dec_p, ch, batch=8 * 16, mesh=mesh, cap=16)
+    h_x = UncorHarvester(dec, ch, batch=8 * 16, mesh=mesh, cap=16)
+    key = jax.random.PRNGKey(11)
+    w_p = h_p.collect(params, 2.0, key, target_words=10 ** 9, max_frames=256)
+    w_x = h_x.collect(params, 2.0, key, target_words=10 ** 9, max_frames=256)
+    assert w_p.shape[0] > 0
+    np.testing.assert_array_equal(w_p, w_x)
