@@ -62,6 +62,10 @@ class DecoderConfig:
     target_node: int = 0  # >0: restrict outputs/metrics to first `target_node`
     #                        proto columns (systematic option, main_Base.py:29)
     remat: bool = False  # checkpoint each scan step (for deep training runs)
+    unroll: int = 1  # lax.scan unroll factor: >1 lets XLA fuse across
+    #   decoding iterations (fewer HBM round-trips of the carry) at the
+    #   cost of a bigger program; the fused Pallas kernel is the forward-
+    #   only extreme of the same idea
     track_syndrome: bool = False  # also emit per-iteration syndrome-satisfied flags
     backend: str = "xla"  # "xla" (lax.scan, differentiable) or "pallas" (fused
     #                        VMEM-resident kernel for collect='stats', fwd-only)
@@ -445,7 +449,8 @@ class NMSDecoder:
         carry0 = (jnp.zeros((N, Dv, z, B), jnp.float32),
                   jnp.zeros((N * z, B), jnp.float32),
                   jnp.zeros((N * z, B), jnp.float32))
-        (_, _, app_last), ys = lax.scan(step, carry0, xs)
+        (_, _, app_last), ys = lax.scan(step, carry0, xs,
+                                        unroll=min(cfg.unroll, T))
 
         if collect == "apps":
             return DecodeResult(app_last, None, None, ys, None)
