@@ -126,12 +126,17 @@ def main():
     from ldpc_error_floor_tpu.training.train import (make_optimizer,
                                                      make_train_step)
     spec_t = WeightSpec(sharing=(3, 0, 3), n_iters=T)
-    dec_t = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5,
-                                           remat=True), spec_t, graph=graph)
     opt = make_optimizer(1e-3)
     best_t = (0.0, 0)
-    for batch in ((2048, 8192, 16384) if on_tpu else (512,)):
+    for batch in ((1024, 2048, 4096) if on_tpu else (512,)):
         try:
+            # the pipeline's auto policy: full unroll + no remat below the
+            # memory knee (benchmarks/train_throughput.py)
+            big = batch >= 4096
+            dec_t = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5,
+                                                   remat=big,
+                                                   unroll=1 if big else T),
+                               spec_t, graph=graph)
             params_t = init_weights(spec_t, graph)
             opt_state = opt.init(params_t)
             labels = jnp.zeros((code.n_full, batch), jnp.float32)

@@ -66,7 +66,7 @@ def phase_base_weights(run_dir: str) -> str:
 
 
 def phase_collect(run_dir: str, snr: float, words: int, batch: int,
-                  seed: int) -> str:
+                  seed: int, max_frames: int = 30_000_000_000) -> str:
     from ldpc_error_floor_tpu.io.uncor_files import read_uncor_file
     from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_collection
     uncor = os.path.join(run_dir, "Uncor.txt")
@@ -78,7 +78,9 @@ def phase_collect(run_dir: str, snr: float, words: int, batch: int,
                            snrs=[snr], seed=seed,
                            out_dir=os.path.join(run_dir, "Weights"))
     t0 = time.perf_counter()
-    got = run_collection(cfg, target_words=words, batch=batch, out_file=uncor)
+    got = run_collection(cfg, target_words=words, batch=batch,
+                         out_file=uncor, max_frames=max_frames,
+                         ckpt_path=uncor + ".ckpt.json")
     log(f"collected {got.shape[0]} words at {snr} dB "
         f"in {time.perf_counter() - t0:.0f} s")
     return uncor

@@ -76,6 +76,12 @@ class ExperimentConfig:
     checkpoint_every: int = 0   # epochs between full-state snapshots (0 = off)
     resume: int = 0             # restore the latest snapshot if present
 
+    # --- performance (no reference equivalent) ---
+    scan_unroll: int = 0   # lax.scan unroll for the training decoder;
+    #   0 = auto (full unroll below the memory knee, where XLA fusing
+    #   across iterations is worth 2.6x trained cw/s — see
+    #   benchmarks/train_throughput.py)
+
     # --- misc ---
     seed: int = 2
     snrs: List[float] = field(default_factory=lambda: [2.0, 2.5, 3.0, 3.5, 4.0])

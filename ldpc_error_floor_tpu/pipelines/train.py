@@ -134,14 +134,19 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
             params = partial_update_from_blocks(spec, params, blocks, start,
                                                 graph)
 
-        # remat bounds activation memory for deep scans at large batch; at
-        # small batches it's unnecessary AND this image's TPU compiler
-        # SIGSEGVs on remat'd scan bodies with tiny lane dims (verified:
-        # batch 20 + remat crashes tpu_compile_helper, batch 128 is fine)
-        remat = cfg.batch_size >= 128
+        # Training-decoder compilation policy (benchmarks/train_throughput.py,
+        # measured on v5e): below the memory knee, full scan unroll lets XLA
+        # fuse across decoding iterations — 173k vs 66k trained cw/s at
+        # batch 2048 — and remat off is both faster and avoids a TPU
+        # compiler SIGSEGV on remat'd scan bodies with tiny lane dims
+        # (batch 20 + remat crashes tpu_compile_helper).  At large batches
+        # remat bounds activation memory and unrolling loses.
+        big = cfg.batch_size >= 4096
+        unroll = cfg.scan_unroll or (1 if big else end)
         dcfg = DecoderConfig(decoding_type=cfg.decoding_type, q_bit=cfg.q_bit,
                              clip_llr=cfg.clip_llr, target_node=target_node,
-                             neural_mode=cfg.neural_mode, remat=remat)
+                             neural_mode=cfg.neural_mode, remat=big,
+                             unroll=unroll)
         decoder = NMSDecoder(code, dcfg, spec, graph=graph)
         optimizer = make_optimizer(cfg.learn_rate_start)
         opt_state = optimizer.init(params)
