@@ -114,8 +114,10 @@ def _cmd_simulate(args) -> int:
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    tb = 256 if args.batch % 256 == 0 else 128
-    if args.batch % tb != 0:
+    # kernel tiles must divide the PER-DEVICE batch under a mesh
+    local = args.batch // jax.device_count() if args.mesh else args.batch
+    tb = 256 if local % 256 == 0 else 128
+    if local % tb != 0:
         backend = "xla"
     target = (code.N - code.M) if args.systematic else 0
     dec = NMSDecoder(code, DecoderConfig(decoding_type=args.decoding_type,
