@@ -33,12 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# set from CLI args in main(); defaults = the NeurIPS'23 WiMAX 20+10 pipeline
 CODE = "wman_N0576_R34_z24"
 PREFIX = f"C0_{CODE}"
-# set from CLI args in main(); defaults = the NeurIPS'23 20+10 pipeline
 BASE_WEIGHTS = "wman_N0576_R34_z24_base20"
 BASE_ITERS = 20
 TOTAL_ITERS = 30
+SHARING = (3, 3, 3)
+SYSTEMATIC = 0
 
 
 def log(msg: str) -> None:
@@ -58,9 +60,9 @@ def phase_base_weights(run_dir: str) -> str:
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
     graph = TannerGraph(get_code(CODE))
-    spec = WeightSpec(sharing=(3, 3, 3), n_iters=BASE_ITERS)
+    spec = WeightSpec(sharing=SHARING, n_iters=BASE_ITERS)
     params = load_params(spec, graph, BASE_WEIGHTS)
-    write_weight_file(out, (3, 3, 3), params_to_blocks(spec, params))
+    write_weight_file(out, SHARING, params_to_blocks(spec, params))
     log(f"wrote frozen base prefix -> {out}")
     return out
 
@@ -73,8 +75,8 @@ def phase_collect(run_dir: str, snr: float, words: int, batch: int,
     if os.path.exists(uncor) and read_uncor_file(uncor).shape[0] >= words:
         log(f"collection already done ({uncor})")
         return uncor
-    cfg = ExperimentConfig(code=CODE, sharing=(3, 3, 3),
-                           iters_max=BASE_ITERS,
+    cfg = ExperimentConfig(code=CODE, sharing=SHARING,
+                           iters_max=BASE_ITERS, systematic=SYSTEMATIC,
                            snrs=[snr], seed=seed,
                            out_dir=os.path.join(run_dir, "Weights"))
     t0 = time.perf_counter()
@@ -110,7 +112,8 @@ def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
     # main_Post.py configuration, TPU batch size (reference: batch 20,
     # 200 epochs x 500 steps on a 2080 Ti)
     cfg = ExperimentConfig(
-        code=CODE, sharing=(3, 3, 3), decoding_type=2, q_bit=5,
+        code=CODE, sharing=SHARING, systematic=SYSTEMATIC,
+        decoding_type=2, q_bit=5,
         iters_max=TOTAL_ITERS, fixed_iter=BASE_ITERS,
         iter_step=TOTAL_ITERS - BASE_ITERS, fixed_init=0,
         sampling_type=1, loss_type=2, opt_metric=2,
@@ -135,12 +138,13 @@ def _make_sim(spec_iters: int, batch: int):
     from ldpc_error_floor_tpu.sim import FERSimulator
     code = get_code(CODE)
     graph = TannerGraph(code)
-    spec = WeightSpec(sharing=(3, 3, 3), n_iters=spec_iters, fixed_iter=0)
+    spec = WeightSpec(sharing=SHARING, n_iters=spec_iters, fixed_iter=0)
     on_tpu = jax.default_backend() == "tpu"
     dcfg = DecoderConfig(decoding_type=2, q_bit=5,
                          backend="pallas" if on_tpu else "xla",
                          pallas_tb=256 if batch % 256 == 0 else 128,
-                         pallas_early_stop=on_tpu)
+                         pallas_early_stop=on_tpu,
+                         target_node=(code.N - code.M) if SYSTEMATIC else 0)
     dec = NMSDecoder(code, dcfg, spec, graph=graph)
     ch = AWGNChannel(code, decoding_type=2, q_bit=5)
     return dec, FERSimulator(dec, ch, batch=batch), spec, graph
@@ -217,12 +221,23 @@ def main() -> int:
                         "stage, e.g. wman_N0576_R34_z24_iter50")
     p.add_argument("--base-iters", type=int, default=20)
     p.add_argument("--total-iters", type=int, default=30)
+    p.add_argument("--code", default="wman_N0576_R34_z24")
+    p.add_argument("--sharing", type=int, nargs=3, default=[3, 3, 3])
+    p.add_argument("--systematic", action="store_true",
+                   help="count errors over info bits only (5G codes: "
+                        "excludes the degree-1 parity tail, reference "
+                        "main_Base.py:29)")
     args = p.parse_args()
 
-    global BASE_WEIGHTS, BASE_ITERS, TOTAL_ITERS
+    global BASE_WEIGHTS, BASE_ITERS, TOTAL_ITERS, CODE, PREFIX, SHARING, \
+        SYSTEMATIC
+    CODE = args.code
+    PREFIX = f"C0_{CODE}"
     BASE_WEIGHTS = args.base_weights
     BASE_ITERS = args.base_iters
     TOTAL_ITERS = args.total_iters
+    SHARING = tuple(args.sharing)
+    SYSTEMATIC = 1 if args.systematic else 0
 
     from ldpc_error_floor_tpu.utils import enable_compile_cache
     enable_compile_cache()

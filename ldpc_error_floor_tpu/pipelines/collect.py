@@ -53,9 +53,11 @@ def run_collection(cfg: ExperimentConfig, weight_file: Optional[str] = None,
     tb = 256 if local % 256 == 0 else 128
     if local % tb != 0:
         backend = "xla"  # kernel tiles must divide the per-device batch
+    target = (code.N - code.M) if cfg.systematic else 0
     dcfg = DecoderConfig(decoding_type=cfg.decoding_type, q_bit=cfg.q_bit,
                          clip_llr=cfg.clip_llr, backend=backend,
-                         pallas_tb=tb, pallas_early_stop=(backend == "pallas"))
+                         pallas_tb=tb, pallas_early_stop=(backend == "pallas"),
+                         target_node=target)
     decoder = NMSDecoder(code, dcfg, spec, graph=graph)
     channel = AWGNChannel(code, decoding_type=cfg.decoding_type,
                           q_bit=cfg.q_bit, clip_llr=cfg.clip_llr)
