@@ -78,6 +78,61 @@ def _cmd_train(args) -> int:
     return 0
 
 
+def _cmd_evaluate(args) -> int:
+    """Evaluate a weight file on fresh noise or the harvested valid/test
+    datasets — the reference's only evaluation path is epoch 0 of a
+    training run (`main_Base.py:150`, SURVEY.md section 3.4)."""
+    import jax
+    import numpy as np
+
+    from ldpc_error_floor_tpu.channel import AWGNChannel
+    from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+    from ldpc_error_floor_tpu.io.uncor_files import read_uncor_file
+    from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder,
+                                             WeightSpec, load_params)
+    from ldpc_error_floor_tpu.pipelines import ExperimentConfig
+    from ldpc_error_floor_tpu.pipelines.evaluate import Evaluator
+
+    cfg = ExperimentConfig.from_json(args.config).validate()
+    code = get_code(cfg.code, z=cfg.z, punct=cfg.punct, short=cfg.short)
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=cfg.sharing, n_iters=cfg.iters_max,
+                      fixed_iter=cfg.fixed_iter)
+    weights = args.weights or (
+        f"{cfg.out_dir}/{cfg.out_prefix}_Opt_Weight_End{cfg.iters_max}.txt")
+    params = load_params(spec, graph, weights)
+    target = (code.N - code.M) if cfg.systematic else 0
+    dec = NMSDecoder(code, DecoderConfig(decoding_type=cfg.decoding_type,
+                                         q_bit=cfg.q_bit,
+                                         clip_llr=cfg.clip_llr,
+                                         target_node=target),
+                     spec, graph=graph)
+    channel = AWGNChannel(code, decoding_type=cfg.decoding_type,
+                          q_bit=cfg.q_bit, clip_llr=cfg.clip_llr)
+    ev = Evaluator(dec, channel, cfg.loss_type, batch=args.batch)
+    key = jax.random.PRNGKey(cfg.seed)
+    if cfg.sampling_type == 1:  # harvested datasets
+        base = f"{cfg.input_dir}/[Uncor]_{cfg.code}"
+        splits = [("valid", base + "_Valid.txt", cfg.valid_num),
+                  ("test", base + "_Test.txt", cfg.test_num)]
+        for name, path, num in splits:
+            data = read_uncor_file(path, max_rows=num)
+            res, dt = ev.run(params, [0.0], min(num, data.shape[0]),
+                             cfg.etha_start, data=data)
+            print(json.dumps({"split": name, "ber_last": res[0, 0],
+                              "fer_last": res[1, 0], "fer": res[2, 0],
+                              "loss": res[3, 0], "seconds": dt}))
+    else:
+        sigmas = code.snr_sigmas(cfg.snrs)
+        res, dt = ev.run(params, sigmas, args.frames, cfg.etha_start,
+                         key=key)
+        for i, snr in enumerate(cfg.snrs):
+            print(json.dumps({"snr": snr, "ber_last": res[0, i],
+                              "fer_last": res[1, i], "fer": res[2, i],
+                              "loss": res[3, i]}))
+    return 0
+
+
 def _cmd_collect(args) -> int:
     from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_collection
     cfg = ExperimentConfig.from_json(args.config)
@@ -216,6 +271,17 @@ def main(argv=None) -> int:
                     dest="mesh_devices",
                     help="use only the first N devices of the mesh")
 
+    pe = sub.add_parser("evaluate",
+                        help="evaluate weights on fresh noise or the "
+                             "harvested valid/test datasets (4 metric rows)")
+    pe.add_argument("--config", required=True)
+    pe.add_argument("--weights", default=None,
+                    help="weight file / bundled set (default: the config's "
+                         "Opt_Weight_End{iters_max}.txt)")
+    pe.add_argument("--batch", type=int, default=1000)
+    pe.add_argument("--frames", type=int, default=10000,
+                    help="frames per SNR for fresh-noise evaluation")
+
     pl = sub.add_parser("collect", help="harvest uncorrected words")
     pl.add_argument("--config", required=True)
     pl.add_argument("--weights", default=None)
@@ -294,6 +360,7 @@ def main(argv=None) -> int:
             "convert-weights": _cmd_convert_weights,
             "init-config": _cmd_init_config,
             "train": _cmd_train, "collect": _cmd_collect,
+            "evaluate": _cmd_evaluate,
             "split-uncor": _cmd_split_uncor,
             "simulate": _cmd_simulate}[args.cmd](args)
 
