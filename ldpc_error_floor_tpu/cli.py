@@ -133,6 +133,28 @@ def _cmd_evaluate(args) -> int:
     return 0
 
 
+def _cmd_analyze_uncor(args) -> int:
+    """Trapping-set classification of a harvested Uncor dataset: decode it
+    with the given weights and report (a, b) failure classes + hot
+    variable nodes (sim/analysis.py)."""
+    from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+    from ldpc_error_floor_tpu.io.uncor_files import read_uncor_file
+    from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder,
+                                             WeightSpec, load_params)
+    from ldpc_error_floor_tpu.sim import classify_failures
+
+    code = get_code(args.code)
+    graph = TannerGraph(code)
+    spec = WeightSpec(sharing=tuple(args.sharing), n_iters=args.iters)
+    dec = NMSDecoder(code, DecoderConfig(decoding_type=args.decoding_type,
+                                         q_bit=args.q_bit), spec, graph=graph)
+    params = load_params(spec, graph, args.weights)
+    rows = read_uncor_file(args.uncor, max_rows=args.max_rows or None)
+    rep = classify_failures(dec, params, rows, batch=args.batch)
+    print(rep.summary(args.top))
+    return 0
+
+
 def _cmd_collect(args) -> int:
     from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_collection
     cfg = ExperimentConfig.from_json(args.config)
@@ -282,6 +304,21 @@ def main(argv=None) -> int:
     pe.add_argument("--frames", type=int, default=10000,
                     help="frames per SNR for fresh-noise evaluation")
 
+    pa = sub.add_parser("analyze-uncor",
+                        help="trapping-set (a,b) classification of a "
+                             "harvested Uncor dataset")
+    pa.add_argument("--uncor", required=True)
+    pa.add_argument("--code", required=True)
+    pa.add_argument("--weights", required=True)
+    pa.add_argument("--sharing", type=int, nargs=3, default=[3, 3, 3])
+    pa.add_argument("--iters", type=int, default=20)
+    pa.add_argument("--decoding-type", type=int, default=2,
+                    dest="decoding_type")
+    pa.add_argument("--q-bit", type=int, default=5, dest="q_bit")
+    pa.add_argument("--batch", type=int, default=1024)
+    pa.add_argument("--max-rows", type=int, default=0, dest="max_rows")
+    pa.add_argument("--top", type=int, default=10)
+
     pl = sub.add_parser("collect", help="harvest uncorrected words")
     pl.add_argument("--config", required=True)
     pl.add_argument("--weights", default=None)
@@ -360,7 +397,7 @@ def main(argv=None) -> int:
             "convert-weights": _cmd_convert_weights,
             "init-config": _cmd_init_config,
             "train": _cmd_train, "collect": _cmd_collect,
-            "evaluate": _cmd_evaluate,
+            "evaluate": _cmd_evaluate, "analyze-uncor": _cmd_analyze_uncor,
             "split-uncor": _cmd_split_uncor,
             "simulate": _cmd_simulate}[args.cmd](args)
 
