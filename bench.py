@@ -70,7 +70,7 @@ def main():
         return jax.jit(step)
 
     best = (0.0, 0)
-    batches = (8192, 32768, 131072) if on_tpu else (2048, 8192)
+    batches = (8192, 32768, 131072, 262144) if on_tpu else (2048, 8192)
     for batch in batches:
         try:
             # set LDPC_TPU_PROFILE_DIR to capture an XProf trace of the sweep
