@@ -109,7 +109,6 @@ def _cmd_evaluate(args) -> int:
                      spec, graph=graph)
     channel = AWGNChannel(code, decoding_type=cfg.decoding_type,
                           q_bit=cfg.q_bit, clip_llr=cfg.clip_llr)
-    ev = Evaluator(dec, channel, cfg.loss_type, batch=args.batch)
     key = jax.random.PRNGKey(cfg.seed)
     if cfg.sampling_type == 1:  # harvested datasets
         base = f"{cfg.input_dir}/[Uncor]_{cfg.code}"
@@ -117,12 +116,23 @@ def _cmd_evaluate(args) -> int:
                   ("test", base + "_Test.txt", cfg.test_num)]
         for name, path, num in splits:
             data = read_uncor_file(path, max_rows=num)
-            res, dt = ev.run(params, [0.0], min(num, data.shape[0]),
-                             cfg.etha_start, data=data)
+            rows = min(num, data.shape[0])
+            # clamp to the split size (a split smaller than --batch must
+            # still evaluate) and report any dropped trailing remainder
+            eb = min(args.batch, rows)
+            used = (rows // eb) * eb
+            if used < rows:
+                print(f"# {name}: evaluating {used}/{rows} rows "
+                      f"({rows - used} trailing rows don't fill a batch "
+                      f"of {eb})", flush=True)
+            ev = Evaluator(dec, channel, cfg.loss_type, batch=eb)
+            res, dt = ev.run(params, [0.0], used, cfg.etha_start, data=data)
             print(json.dumps({"split": name, "ber_last": res[0, 0],
                               "fer_last": res[1, 0], "fer": res[2, 0],
-                              "loss": res[3, 0], "seconds": dt}))
+                              "loss": res[3, 0], "seconds": dt,
+                              "rows_used": used}))
     else:
+        ev = Evaluator(dec, channel, cfg.loss_type, batch=args.batch)
         sigmas = code.snr_sigmas(cfg.snrs)
         res, dt = ev.run(params, sigmas, args.frames, cfg.etha_start,
                          key=key)

@@ -113,7 +113,7 @@ class Evaluator:
                     return 0, out
 
                 _, (ints, losses) = lax.scan(outer, 0, jnp.arange(batch_num))
-                return jnp.sum(ints, axis=0), jnp.sum(losses, axis=0)
+                return ints, losses
         else:
             def fused(params, key, sigmas, labels, etha):
                 def outer(key, _bi):
@@ -130,8 +130,12 @@ class Evaluator:
 
                 _, (ints, losses) = lax.scan(outer, key,
                                              jnp.arange(batch_num))
-                # ints: [batch_num, n_snr, 3]; losses: [batch_num, n_snr]
-                return jnp.sum(ints, axis=0), jnp.sum(losses, axis=0)
+                # ints: [batch_num, n_snr, 3]; losses: [batch_num, n_snr].
+                # Returned per-batch (unsummed): the int32 per-batch counters
+                # can't overflow (one batch of bits < 2^31), but their sum
+                # over thousands of batches can — the host reduces in float64
+                # like the reference's NumPy accumulation.
+                return ints, losses
 
         fn = jax.jit(fused)
         self._fused_cache[cache_key] = fn
@@ -163,8 +167,9 @@ class Evaluator:
                 ints, losses = fn(params, rows, sigmas, labels, etha)
             else:
                 ints, losses = fn(params, key, sigmas, labels, etha)
-            ints = np.asarray(ints, np.float64)    # [n_snr, 3]
-            losses = np.asarray(losses, np.float64)
+            # per-batch [batch_num, n_snr, {3,}] -> float64 totals on host
+            ints = np.asarray(ints, np.float64).sum(axis=0)   # [n_snr, 3]
+            losses = np.asarray(losses, np.float64).sum(axis=0)
             results = np.zeros((4, n_snr), np.float64)
             results[0] = ints[:, 0] / (batch * nbits) / batch_num
             results[1] = ints[:, 1] / batch / batch_num

