@@ -127,16 +127,22 @@ def main():
                                                      make_train_step)
     spec_t = WeightSpec(sharing=(3, 0, 3), n_iters=T)
     opt = make_optimizer(1e-3)
-    best_t = (0.0, 0)
-    for batch in ((1024, 2048, 4096) if on_tpu else (512,)):
+    best_t = (0.0, 0, "")
+    cfgs_t = []
+    if on_tpu:
+        # fused differentiable Pallas path (the pipeline default on TPU)
+        for batch in (2048, 8192, 32768):
+            cfgs_t.append((batch, "pallas", DecoderConfig(
+                decoding_type=2, q_bit=5, backend="pallas",
+                pallas_tb=256)))
+        # scan path for reference (full unroll + no remat policy)
+        cfgs_t.append((2048, "scan", DecoderConfig(
+            decoding_type=2, q_bit=5, unroll=T)))
+    else:
+        cfgs_t.append((512, "scan", DecoderConfig(decoding_type=2, q_bit=5)))
+    for batch, tag, dc in cfgs_t:
         try:
-            # the pipeline's auto policy: full unroll + no remat below the
-            # memory knee (benchmarks/train_throughput.py)
-            big = batch >= 4096
-            dec_t = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5,
-                                                   remat=big,
-                                                   unroll=1 if big else T),
-                               spec_t, graph=graph)
+            dec_t = NMSDecoder(code, dc, spec_t, graph=graph)
             params_t = init_weights(spec_t, graph)
             opt_state = opt.init(params_t)
             labels = jnp.zeros((code.n_full, batch), jnp.float32)
@@ -148,14 +154,15 @@ def main():
                                               jnp.float32(0.0)),
                            (params_t, opt_state), warmup=2, iters=10)
         except Exception as e:
-            log(f"train batch {batch}: failed ({type(e).__name__})")
+            log(f"train[{tag}] batch {batch}: failed ({type(e).__name__})")
             continue
         rate = batch / dt
-        log(f"train[{'scan'}] batch {batch}: {rate:,.0f} trained cw/s "
+        log(f"train[{tag}] batch {batch}: {rate:,.0f} trained cw/s "
             f"({dt*1e3:.2f} ms/step)")
         if rate > best_t[0]:
-            best_t = (rate, batch)
-    log(f"best trained: {best_t[0]:,.0f} cw/s @ batch {best_t[1]}")
+            best_t = (rate, batch, tag)
+    log(f"best trained: {best_t[0]:,.0f} cw/s @ batch {best_t[1]} "
+        f"[{best_t[2]}]")
 
     print(json.dumps({
         "metric": "decoded codewords/s/chip (N576, 20 iters)",

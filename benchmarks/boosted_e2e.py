@@ -102,7 +102,7 @@ def phase_split(run_dir: str, uncor: str, n_train: int, n_valid: int,
 
 def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
                      n_valid: int, n_test: int, lr: float, seed: int,
-                     eval_batch: int = 0) -> str:
+                     eval_batch: int = 0, scan_unroll: int = 0) -> str:
     from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_training
     out = os.path.join(run_dir, "Weights",
                        f"{PREFIX}_Opt_Weight_End{TOTAL_ITERS}.txt")
@@ -123,7 +123,7 @@ def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
         snrs=[0.0], seed=seed,
         out_dir=os.path.join(run_dir, "Weights"),
         input_dir=os.path.join(run_dir, "Inputs"),
-        checkpoint_every=10, resume=1)
+        checkpoint_every=10, resume=1, scan_unroll=scan_unroll)
     t0 = time.perf_counter()
     res = run_training(cfg, verbose=True, eval_batch=eval_batch or None)
     log(f"post training done in {time.perf_counter() - t0:.0f} s; "
@@ -223,6 +223,9 @@ def main() -> int:
     p.add_argument("--total-iters", type=int, default=30)
     p.add_argument("--code", default="wman_N0576_R34_z24")
     p.add_argument("--sharing", type=int, nargs=3, default=[3, 3, 3])
+    p.add_argument("--scan-unroll", type=int, default=0,
+                   help="force the training scan unroll factor (1 avoids "
+                        "remote-compiler SIGSEGVs on some codes; 0 = auto)")
     p.add_argument("--systematic", action="store_true",
                    help="count errors over info bits only (5G codes: "
                         "excludes the degree-1 parity tail, reference "
@@ -250,7 +253,8 @@ def main() -> int:
     post = phase_post_train(args.run_dir, args.post_epochs, args.post_batch,
                             args.split[0], args.split[1], args.split[2],
                             args.lr, args.seed,
-                            eval_batch=args.post_eval_batch)
+                            eval_batch=args.post_eval_batch,
+                            scan_unroll=args.scan_unroll)
     results = phase_eval(args.run_dir, post, args.eval_snrs,
                          args.target_errors, args.max_frames,
                          args.eval_batch, args.seed)

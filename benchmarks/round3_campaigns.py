@@ -1,0 +1,260 @@
+"""Round-3 measurement campaigns: fill the BASELINE.json configs that only
+had capability coverage (#2 MacKay end-to-end waterfall, #3 802.11n with
+dynamic/temporal weight sharing) and run the boosted two-stage pipeline on
+a 5G NR code (the JSAC setting, `/root/reference/README.md:17`).
+
+Phases (each idempotent — skipped when its artifact exists):
+
+  A1  train 802.11n z27 with temporal sharing (5,0,5), 20 iters, full
+      reference recipe (200 epochs x 500 steps of batch 20,
+      `main_Base.py:49-55`)
+  A2  same at 50 iterations (one temporal block — the JSAC deep-iteration
+      regime the mode exists for)
+  A3  FER curves: shipped `Results/WIFI/Weights_Iter50.txt` vs A1/A2 vs
+      plain MS
+  B1  train MACKAY_N96_K48 end-to-end (sharing (3,0,3), 20 iters, full
+      recipe)
+  B2  waterfall BER/FER: trained NMS vs plain (Q)MS all-ones weights
+  C1  train a 20-iteration base decoder for
+      5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320 from scratch
+      (per-check sharing (2,2,2) like the shipped 5G sets, systematic)
+  C2  boosted pipeline on that base (harvest -> post-train 20..30 with UCN
+      -> base-vs-boosted deep curves) via benchmarks/boosted_e2e.py
+
+Results land in benchmarks/runs/round3/CAMPAIGNS.json as they complete.
+
+Usage: python benchmarks/round3_campaigns.py [--only A B C]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+RUN_DIR = os.path.join(ROOT, "benchmarks", "runs", "round3")
+OUT_JSON = os.path.join(RUN_DIR, "CAMPAIGNS.json")
+
+WIFI = "802_11n_N648_R56_z27"
+MACKAY = "MACKAY_N96_K48"
+FIVEG = "5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320"
+
+# the full reference training recipe (main_Base.py:49-55,63)
+RECIPE = dict(decoding_type=2, q_bit=5, neural_mode="scale", clip_llr=20.0,
+              sampling_type=0, train_on_zero_word=1, loss_type=2,
+              opt_metric=1, etha_start=0.0, learn_rate_start=1e-3,
+              batch_size=20, training_num=10000, epochs=200, valid_flag=1,
+              valid_num=10000, test_flag=0, eval_loss=1, init_from_file=0,
+              init_weight=1.0, init_vn_weight=1.0, max_weight=2.0,
+              min_weight=0.0, checkpoint_every=20, resume=1, seed=2,
+              input_dir="./Inputs")
+
+
+def log(msg: str) -> None:
+    print(f"[round3] {msg}", flush=True)
+
+
+def load_results() -> dict:
+    if os.path.exists(OUT_JSON):
+        with open(OUT_JSON) as f:
+            return json.load(f)
+    return {}
+
+
+def save_results(res: dict) -> None:
+    os.makedirs(RUN_DIR, exist_ok=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(res, f, indent=2)
+
+
+def train(tag: str, code: str, sharing, iters: int, snrs, systematic=0,
+          iter_step=None, scan_unroll=0, unfused_eval=False,
+          eval_batch=2000, cfg_extra=None) -> str:
+    """Run the full-recipe training via the CLI; returns the Opt weight path."""
+    out_dir = os.path.join(RUN_DIR, tag, "Weights")
+    prefix = f"C0_{code}"
+    opt = os.path.join(out_dir, f"{prefix}_Opt_Weight_End{iters}.txt")
+    done = os.path.join(out_dir, "DONE")
+    cfg_path = os.path.join(RUN_DIR, f"{tag}_cfg.json")
+    if os.path.exists(opt) and os.path.exists(done):
+        log(f"{tag}: already trained ({opt})")
+        return opt
+    cfg = dict(RECIPE, code=code, sharing=list(sharing), iters_max=iters,
+               fixed_iter=0, fixed_init=0, iter_step=iter_step or iters,
+               systematic=systematic, snrs=list(snrs), out_dir=out_dir,
+               out_prefix=prefix, scan_unroll=scan_unroll,
+               **(cfg_extra or {}))
+    os.makedirs(RUN_DIR, exist_ok=True)
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f, indent=2)
+    log(f"{tag}: training {code} sharing {sharing} iters {iters} "
+        f"snrs {list(snrs)}")
+    t0 = time.perf_counter()
+    env = dict(os.environ, LDPC_EVAL_FUSED="0") if unfused_eval \
+        else None
+    subprocess.run([sys.executable, "-m", "ldpc_error_floor_tpu.cli",
+                    "train", "--config", cfg_path,
+                    "--eval-batch", str(eval_batch)],
+                   check=True, cwd=ROOT, env=env)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    log(f"{tag}: trained in {time.perf_counter() - t0:.0f} s")
+    return opt
+
+
+def fer_curve(tag: str, code: str, weights, sharing, iters: int, snrs,
+              target_errors: int, max_frames: float, results: dict,
+              systematic=0, seed=29, batch=131072) -> None:
+    """Resumable FER sweep (deep_floor.py pattern) recorded under `tag`."""
+    import jax
+
+    from ldpc_error_floor_tpu.channel import AWGNChannel
+    from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+    from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder,
+                                             WeightSpec, init_weights,
+                                             load_params)
+    from ldpc_error_floor_tpu.sim import FERSimulator
+
+    code_obj = get_code(code)
+    graph = TannerGraph(code_obj)
+    spec = WeightSpec(sharing=tuple(sharing), n_iters=iters)
+    on_tpu = jax.default_backend() == "tpu"
+    target = (code_obj.N - code_obj.M) if systematic else 0
+    dcfg = DecoderConfig(decoding_type=2, q_bit=5, target_node=target,
+                         backend="pallas" if on_tpu else "xla",
+                         pallas_tb=256, pallas_early_stop=on_tpu)
+    dec = NMSDecoder(code_obj, dcfg, spec, graph=graph)
+    params = (load_params(spec, graph, weights) if weights
+              else init_weights(spec, graph))
+    ch = AWGNChannel(code_obj, decoding_type=2, q_bit=5)
+    sim = FERSimulator(dec, ch, batch=batch,
+                       inner_steps=8 if on_tpu else 1)
+    pts = results.setdefault(tag, [])
+    done = {pt["snr"] for pt in pts}
+    key = jax.random.PRNGKey(seed)
+    for snr in snrs:
+        key, sub = jax.random.split(key)
+        if snr in done:
+            continue
+        ck = os.path.join(RUN_DIR, f"ckpt_{tag}_snr{snr}.json")
+        t0 = time.perf_counter()
+        pt = sim.run_point(params, snr, sub, max_frames=int(max_frames),
+                           target_frame_errors=target_errors, ckpt_path=ck)
+        log(f"{tag} SNR {snr}: FER_genie {pt.fer_genie:.3e} "
+            f"BER {pt.ber_last:.3e} ({pt.frames:,} frames, "
+            f"{pt.frames_per_sec:,.0f} fr/s, "
+            f"{time.perf_counter() - t0:.0f} s)")
+        pts.append({"snr": snr, "fer_genie": pt.fer_genie,
+                    "fer_last": pt.fer_last, "ber_last": pt.ber_last,
+                    "frames": int(pt.frames),
+                    "frames_per_sec": pt.frames_per_sec})
+        save_results(load_results() | {tag: pts})
+
+
+def campaign_A(results: dict) -> None:
+    # waterfall of the R=5/6 code sits ~1-1.5 dB above wman's (FER 1.1e-2
+    # at 4.0 dB on the shipped 50-iter weights, RESULTS.md)
+    snrs_train = [3.0, 3.5, 4.0, 4.5, 5.0]
+    # z=27 unrolled scan bodies SIGSEGV the round-3 remote TPU compiler
+    # (probe: unroll 20/4 crash, unroll 1 compiles) -> force unroll 1
+    w20 = train("wifi_temporal20", WIFI, (5, 0, 5), 20, snrs_train,
+                scan_unroll=1)
+    w50 = train("wifi_temporal50", WIFI, (5, 0, 5), 50, snrs_train,
+                scan_unroll=1)
+    curve = [4.0, 4.25, 4.5, 4.75, 5.0, 5.25, 5.5]
+    kw = dict(target_errors=50, max_frames=4e9, results=results)
+    fer_curve("wifi_shipped50", WIFI, f"{WIFI}_iter50", (3, 3, 3), 50,
+              curve, **kw)
+    fer_curve("wifi_temporal50", WIFI, w50, (5, 0, 5), 50, curve, **kw)
+    fer_curve("wifi_temporal20", WIFI, w20, (5, 0, 5), 20, curve, **kw)
+    fer_curve("wifi_plain_ms50", WIFI, None, (0, 0, 0), 50, curve, **kw)
+
+
+def campaign_B(results: dict) -> None:
+    snrs_train = [2.0, 2.5, 3.0, 3.5, 4.0]
+    # the round-3 remote TPU compiler SIGSEGVs on some fully-unrolled scan
+    # bodies (WiFi z=27 always; MacKay intermittently) -> force unroll 1
+    # the MacKay (z=1) eval program SIGSEGVs the round-3 remote compiler
+    # in BOTH the fused-sweep and per-batch loss forms; the Pallas stats
+    # kernel family compiles fine, so evaluate without loss at a
+    # tile-aligned batch (eval rides ops/pallas_decoder.py instead)
+    wt = train("mackay_scratch", MACKAY, (3, 0, 3), 20, snrs_train,
+               scan_unroll=1, eval_batch=2048,
+               cfg_extra=dict(eval_loss=0))
+    curve = [1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5, 6.0]
+    kw = dict(target_errors=100, max_frames=1e9, results=results)
+    fer_curve("mackay_trained", MACKAY, wt, (3, 0, 3), 20, curve, **kw)
+    fer_curve("mackay_plain_ms", MACKAY, None, (0, 0, 0), 20, curve, **kw)
+
+
+def campaign_C(results: dict) -> None:
+    # base-20 from scratch, per-check sharing like the shipped 5G sets,
+    # UCN rows trained too so the artifact header matches the reference's
+    # shipped base file shape (3-kind header, SURVEY.md 2.8)
+    snrs_train = [1.0, 1.5, 2.0, 2.5, 3.0]
+    base = train("5g_base_scratch", FIVEG, (2, 2, 2), 20, snrs_train,
+                 systematic=1, scan_unroll=1)
+
+    # probe the base decoder for the harvest SNR (target FER ~ 1e-4, like
+    # the wman campaign's 4.2 dB)
+    probe_tag = "5g_base_probe"
+    if probe_tag not in results:
+        fer_curve(probe_tag, FIVEG, base, (2, 2, 2), 20,
+                  [2.5, 3.0, 3.5, 4.0], target_errors=50, max_frames=4e8,
+                  results=results, systematic=1)
+        results.update(load_results())
+    import math
+    probe = {pt["snr"]: pt["fer_genie"] for pt in results[probe_tag]
+             if pt["fer_genie"] > 0}
+    # nearest to FER 1e-4 in log space (wman harvested at 4.2 dB ~ 1e-4)
+    collect_snr = min(probe,
+                      key=lambda s: abs(math.log10(probe[s]) - (-4.0)))
+    log(f"5G boosted: collecting at SNR {collect_snr} "
+        f"(base FER {probe[collect_snr]:.2e})")
+
+    run_dir = os.path.join(RUN_DIR, "boosted_5g")
+    res_json = os.path.join(run_dir, "RESULTS.json")
+    if not os.path.exists(res_json):
+        subprocess.run(
+            [sys.executable, "benchmarks/boosted_e2e.py",
+             "--run-dir", run_dir, "--code", FIVEG,
+             "--base-weights", base, "--base-iters", "20",
+             "--total-iters", "30", "--sharing", "2", "2", "2",
+             "--systematic", "--collect-snr", str(collect_snr),
+             "--words", "20000", "--post-epochs", "200",
+             "--post-batch", "20", "--scan-unroll", "1",
+             "--eval-snrs", "3.0", "3.5", "4.0",
+             "--target-errors", "50", "--max-frames", "4000000000"],
+            check=True, cwd=ROOT)
+    with open(res_json) as f:
+        results["boosted_5g"] = json.load(f)
+    save_results(results)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", nargs="+", default=["A", "B", "C"])
+    args = p.parse_args()
+    from ldpc_error_floor_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+    os.makedirs(RUN_DIR, exist_ok=True)
+    results = load_results()
+    for name, fn in (("A", campaign_A), ("B", campaign_B),
+                     ("C", campaign_C)):
+        if name in args.only:
+            log(f"=== campaign {name} ===")
+            fn(results)
+            results = load_results() | results
+            save_results(results)
+    log("all campaigns done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

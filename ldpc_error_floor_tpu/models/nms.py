@@ -255,6 +255,7 @@ class NMSDecoder:
         self._route_vn = _perm_router(self._vn_in, self._cn_in)
         self._fused = None  # lazily-built Pallas kernels (backend='pallas')
         self._fused_deploy = None
+        self._fused_train = None
         self._decode_jit = jax.jit(self._decode_impl,
                                    static_argnames=("collect",))
 
@@ -327,6 +328,16 @@ class NMSDecoder:
                                                     tb=cfg.pallas_tb,
                                                     mode="deploy")
             return DeployResult(*self._fused_deploy.decode_deploy(stacked, llr))
+        if cfg.backend == "pallas" and collect == "apps" \
+                and cfg.decoding_type != SP:
+            # fused differentiable path (custom VJP; ops/pallas_train.py) —
+            # the training-throughput twin of the stats kernel
+            from ldpc_error_floor_tpu.ops.pallas_train import FusedTrainKernel
+            if self._fused_train is None:
+                self._fused_train = FusedTrainKernel(self.graph, cfg, spec,
+                                                     tb=cfg.pallas_tb)
+            apps = self._fused_train.apps(stacked, llr)
+            return DecodeResult(apps[-1], None, None, apps, None)
         N, M, z, Dv, Dc = self.N, self.M, self.z, self.Dv, self.Dc
         B = llr.shape[-1]
         T = spec.n_iters

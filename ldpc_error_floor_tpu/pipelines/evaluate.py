@@ -20,6 +20,7 @@ the data axis and counters reduce over ICI.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, Optional, Tuple
 
@@ -54,7 +55,10 @@ class Evaluator:
         self.loss_type = loss_type
         self.t_lo = t_lo
         self.compute_loss = compute_loss
-        self.fused = fused
+        # LDPC_EVAL_FUSED=0 falls back to per-batch dispatches — escape
+        # hatch for remote-compiler crashes on the big fused sweep program
+        # (observed round 3: MACKAY_N96 sweeps SIGSEGV tpu_compile_helper)
+        self.fused = fused and os.environ.get("LDPC_EVAL_FUSED", "1") != "0"
         self._shard = batch_constraint(mesh, data_axis)
         self._fused_cache: Dict[Tuple, callable] = {}
 

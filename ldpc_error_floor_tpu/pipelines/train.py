@@ -135,29 +135,45 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
                                                 graph)
 
         # Training-decoder compilation policy (benchmarks/train_throughput.py,
-        # measured on v5e): below the memory knee, full scan unroll lets XLA
-        # fuse across decoding iterations — 173k vs 66k trained cw/s at
-        # batch 2048 — and remat off is both faster and avoids a TPU
-        # compiler SIGSEGV on remat'd scan bodies with tiny lane dims
-        # (batch 20 + remat crashes tpu_compile_helper).  At large batches
-        # remat bounds activation memory and unrolling loses.
-        big = cfg.batch_size >= 4096
+        # re-measured on v5e at batches 2048/4096/8192): full scan unroll +
+        # no remat wins at EVERY batch size (160k vs 66-75k trained cw/s at
+        # 2048; 125k vs 45-57k at 4096; 80k vs 35-44k at 8192, no OOM), and
+        # remat-off also avoids a TPU compiler SIGSEGV on remat'd scan
+        # bodies with tiny lane dims (batch 20 + remat crashes
+        # tpu_compile_helper).  Remat only pays past ~16k lanes where the
+        # unrolled activation footprint outgrows HBM headroom.
+        big = cfg.batch_size >= 16384
         unroll = cfg.scan_unroll or (1 if big else end)
         dcfg = DecoderConfig(decoding_type=cfg.decoding_type, q_bit=cfg.q_bit,
                              clip_llr=cfg.clip_llr, target_node=target_node,
                              neural_mode=cfg.neural_mode, remat=big,
                              unroll=unroll)
+        # fused differentiable Pallas path (ops/pallas_train.py): on TPU,
+        # when the per-device batch fills kernel tiles and the decode type
+        # has a fused backward (everything but SP), train through the
+        # custom-VJP kernel — gradients match the scan backend
+        # (tests/test_pallas_train.py), throughput is several x
+        dcfg_scan = dcfg
+        local_bs = cfg.batch_size // (mesh.shape["data"] if mesh else 1)
+        if (jax.default_backend() == "tpu" and cfg.decoding_type != 0
+                and not cfg.scan_unroll and local_bs % 128 == 0):
+            dcfg = dataclasses_replace(
+                dcfg, backend="pallas",
+                pallas_tb=256 if local_bs % 256 == 0 else 128)
         decoder = NMSDecoder(code, dcfg, spec, graph=graph)
         optimizer = make_optimizer(cfg.learn_rate_start)
         opt_state = optimizer.init(params)
         t_lo = max(start - cfg.fixed_init, cfg.fixed_iter)
         eb = eval_batch or cfg.batch_size
         need_loss = bool(cfg.eval_loss) or cfg.opt_metric == 3
-        eval_decoder = decoder
+        # eval batches may not fill kernel tiles, so the evaluator gets its
+        # own decoder: scan config by default, fused stats kernel when the
+        # batch allows and no loss is needed
+        eval_decoder = NMSDecoder(code, dcfg_scan, spec, graph=graph)
         if not need_loss and jax.default_backend() == "tpu" and eb % 128 == 0:
             # stats-only eval rides the fused Pallas kernel
             eval_decoder = NMSDecoder(
-                code, dataclasses_replace(dcfg, backend="pallas",
+                code, dataclasses_replace(dcfg_scan, backend="pallas",
                                           pallas_tb=256 if eb % 256 == 0
                                           else 128),
                 spec, graph=graph)
