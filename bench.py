@@ -122,19 +122,24 @@ def main():
         f"speedup {vs:.1f}x")
 
     # --- secondary diagnostic: trained codewords/s (fwd+bwd+Adam) --------
-    # (the differentiable scan path; the headline metric above is decode)
-    from ldpc_error_floor_tpu.training.train import (make_optimizer,
-                                                     make_train_step)
+    # Measured the way production trains (pipelines/train.py): the whole
+    # epoch is ONE dispatch (`make_epoch_step` = n_steps train steps under
+    # lax.scan, channel sampled in-graph) — per-step dispatch over the
+    # tunneled chip costs ~2.7 ms/step of pure host latency.
+    from ldpc_error_floor_tpu.training.train import (make_epoch_step,
+                                                     make_optimizer)
     spec_t = WeightSpec(sharing=(3, 0, 3), n_iters=T)
     opt = make_optimizer(1e-3)
     best_t = (0.0, 0, "")
+    n_steps = 10
     cfgs_t = []
     if on_tpu:
-        # fused differentiable Pallas path (the pipeline default on TPU)
+        # fused differentiable Pallas path (the pipeline default on TPU;
+        # tb 256 overflows VMEM in the backward kernel — 128 is the knee)
         for batch in (2048, 8192, 32768):
             cfgs_t.append((batch, "pallas", DecoderConfig(
                 decoding_type=2, q_bit=5, backend="pallas",
-                pallas_tb=256)))
+                pallas_tb=128)))
         # scan path for reference (full unroll + no remat policy)
         cfgs_t.append((2048, "scan", DecoderConfig(
             decoding_type=2, q_bit=5, unroll=T)))
@@ -146,19 +151,26 @@ def main():
             params_t = init_weights(spec_t, graph)
             opt_state = opt.init(params_t)
             labels = jnp.zeros((code.n_full, batch), jnp.float32)
-            llr = channel.sample(key, jnp.full((batch,), sigma, jnp.float32))
-            tstep = make_train_step(dec_t, spec_t, loss_type=2,
+            sigmas = jnp.full((batch,), sigma, jnp.float32)
+            estep = make_epoch_step(dec_t, spec_t, loss_type=2,
                                     train_start=0, train_end=T,
-                                    optimizer=opt, donate=False)
-            dt = time_step(lambda p, o: tstep(p, o, llr, labels,
-                                              jnp.float32(0.0)),
-                           (params_t, opt_state), warmup=2, iters=10)
+                                    fixed_init=0, optimizer=opt,
+                                    n_steps=n_steps, labels=labels,
+                                    channel=channel, sigmas=sigmas)
+
+            def run_epoch(p, o, k):
+                # donate_argnums=(0,1) — pass copies so timing reuses args
+                return estep(jax.tree.map(jnp.copy, p),
+                             jax.tree.map(jnp.copy, o), k, jnp.float32(0.0))
+
+            dt = time_step(run_epoch, (params_t, opt_state, key),
+                           warmup=2, iters=5)
         except Exception as e:
             log(f"train[{tag}] batch {batch}: failed ({type(e).__name__})")
             continue
-        rate = batch / dt
+        rate = batch * n_steps / dt
         log(f"train[{tag}] batch {batch}: {rate:,.0f} trained cw/s "
-            f"({dt*1e3:.2f} ms/step)")
+            f"({dt*1e3/n_steps:.2f} ms/step, epoch dispatch)")
         if rate > best_t[0]:
             best_t = (rate, batch, tag)
     log(f"best trained: {best_t[0]:,.0f} cw/s @ batch {best_t[1]} "

@@ -1,0 +1,158 @@
+"""Trace-measured roofline for the fused Pallas decode kernel.
+
+Round 2's RESULTS.md claimed "~85% of the chip's VPU f32 issue rate
+(estimated from ~30 vector ops per edge)" — an estimate, not a measurement.
+This script replaces the estimate with numbers derived from an XProf device
+trace (`jax.profiler.trace`):
+
+* device-measured kernel time per step (host/tunnel latency excluded),
+* measured codewords/s and HBM bytes/s from the device time,
+* achieved vector-op issue rate vs the VPU peak.
+
+The per-edge op count stays analytic (the kernel's instruction mix is
+static and documented below); everything multiplied by it is measured.
+
+VPU peak model (jax-ml.github.io/scaling-book, "TPU Scaling" chapter):
+each TensorCore has a VPU of shape (8, 128) with 4 independent ALUs;
+v5e clock ~1.74 GHz -> peak = 8*128*4*1.74e9 = 7.1e12 f32 lane-ops/s.
+
+Usage:  python benchmarks/roofline.py [--batch 262144] [--tb 256]
+Writes benchmarks/runs/round3/ROOFLINE.json and prints a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VPU_PEAK_OPS = 8 * 128 * 4 * 1.74e9  # lane-ops/s, v5e (see module docstring)
+
+# Analytic per-(edge, z-lane, codeword) vector-op count for one decoding
+# iteration of the stats kernel (ops/pallas_decoder.py, QMS q=5 mode,
+# sharing (3,0,3)): counted from the kernel body —
+#   VN update: gather-add of Dv-1 C->V tiles + sub + clip/quantize(3) +
+#     zero-nudge(2) + roll(concat, ~1)            ~ 8
+#   CN min1/min2/sign running reduction: abs(1) + sign-sel(1) +
+#     min/max(3) + sign-mul(1)                    ~ 6
+#   extrinsic select + eps adjust: cmp+sel(2) + cmp+sel(2)  ~ 4
+#   weighting + ReLU + quantize + sign: mul(1) + max(1) + q(3) + mul(1) ~ 6
+#   APP accumulate + clip + err/stat flags        ~ 6
+OPS_PER_EDGE = 30
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=262144)
+    p.add_argument("--tb", type=int, default=256)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--out", default="benchmarks/runs/round3/ROOFLINE.json")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_error_floor_tpu.channel import AWGNChannel
+    from ldpc_error_floor_tpu.codes import TannerGraph, get_code
+    from ldpc_error_floor_tpu.models import (DecoderConfig, NMSDecoder,
+                                             WeightSpec, init_weights)
+    from ldpc_error_floor_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
+    code = get_code("wman_N0576_R34_z24")
+    graph = TannerGraph(code)
+    T = args.iters
+    spec = WeightSpec(sharing=(3, 0, 3), n_iters=T)
+    decoder = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5,
+                                             backend="pallas",
+                                             pallas_tb=args.tb),
+                         spec, graph=graph)
+    channel = AWGNChannel(code, decoding_type=2, q_bit=5)
+    params = init_weights(spec, graph)
+    sigma = jnp.float32(code.snr_sigmas([3.5])[0])
+    batch = args.batch
+
+    @jax.jit
+    def step(params, key):
+        llr = channel.sample(key, jnp.full((batch,), sigma, jnp.float32))
+        res = decoder.apply(params, llr, collect="stats")
+        return (jnp.sum(res.bit_errors[-1]), jnp.sum(res.err_flags[-1]),
+                jnp.sum(res.uncor_mask))
+
+    key = jax.random.PRNGKey(0)
+    jax.block_until_ready(step(params, key))  # compile
+
+    trace_dir = os.path.join(os.path.dirname(args.out) or ".", "xprof_decode")
+    os.makedirs(trace_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(trace_dir):
+        for i in range(args.steps):
+            out = step(params, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / args.steps
+
+    # ---- parse the device lane of the trace ----
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**",
+                                          "*.trace.json.gz"),
+                             recursive=True), key=os.path.getmtime)
+    d = json.loads(gzip.open(paths[-1]).read())
+    pids = {e["pid"]: e["args"]["name"] for e in d["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {}
+    for e in d["traceEvents"]:
+        if e.get("ph") == "X" and "TPU" in str(pids.get(e["pid"], "")):
+            dev.setdefault(e["name"], [0.0, 0])
+            dev[e["name"]][0] += e["dur"]
+            dev[e["name"]][1] += 1
+    # the whole step is one jit program; its device duration is the kernel
+    # + sampling fusions.  Identify the top-level program and the largest
+    # sub-span (the pallas kernel itself).
+    top = max(dev.items(), key=lambda kv: kv[1][0])
+    prog_us = top[1][0] / args.steps
+    spans = sorted(((v[0] / args.steps, k) for k, v in dev.items()),
+                   reverse=True)
+
+    E, z = graph.E, code.z
+    cw_s = batch / (prog_us * 1e-6)
+    lane_ops = T * E * z * batch * OPS_PER_EDGE / (prog_us * 1e-6)
+    vpu_frac = lane_ops / VPU_PEAK_OPS
+    # HBM per step: LLR tiles in (the sampler writes them once, kernel
+    # reads once) + stats out (3 scalars/iter/cw int32-ish, negligible)
+    hbm_bytes = code.N * decoder._fused.zp * batch * 4 * 2
+    hbm_gbs = hbm_bytes / (prog_us * 1e-6) / 1e9
+
+    result = {
+        "batch": batch, "tb": args.tb, "iters": T,
+        "device_us_per_step": prog_us,
+        "wall_us_per_step": wall * 1e6,
+        "codewords_per_sec_device": cw_s,
+        "ops_per_edge_analytic": OPS_PER_EDGE,
+        "achieved_lane_ops_per_sec": lane_ops,
+        "vpu_peak_lane_ops_per_sec": VPU_PEAK_OPS,
+        "vpu_fraction": vpu_frac,
+        "hbm_bytes_per_step": hbm_bytes,
+        "hbm_gb_per_sec": hbm_gbs,
+        "top_device_spans_us": [[round(us, 1), name[:80]]
+                                for us, name in spans[:8]],
+        "trace_dir": trace_dir,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    print(f"\ndevice {prog_us/1e3:.2f} ms/step -> {cw_s:,.0f} cw/s; "
+          f"VPU fraction {vpu_frac:.2f} "
+          f"(@{OPS_PER_EDGE} analytic ops/edge); HBM {hbm_gbs:.0f} GB/s",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,8 +7,10 @@ through HBM twice per decoding iteration.  This module closes the gap with
 a custom-VJP pair of Pallas kernels:
 
 * **forward** — the same VMEM-resident iteration loop as
-  `ops/pallas_decoder.py`, but per iteration it also streams (a) the APP
-  stack `apps[t]` (the loss input) and (b) the C->V state *entering* each
+  `ops/pallas_decoder.py`, but per iteration it also streams (a) the
+  PRE-clip APP stack (the loss input after a host-side clip, and the
+  backward's inclusive clip_tf_grad mask source — sparing the backward a
+  full weighting recompute) and (b) the C->V state *entering* each
   iteration (the backward's recompute seed) to HBM with overlapped async
   DMA.  HBM traffic: one LLR read + T state/APP tiles, vs the scan's
   ~2T full-graph round trips.
@@ -251,7 +253,11 @@ class FusedTrainKernel(FusedNMSKernel):
                 if qms:
                     base = self._quantize(base)
                 app_j = base if app_j is None else base + app_j
-                app_j = jnp.clip(app_j, -cfg.clip_llr, cfg.clip_llr)
+                # the PRE-clip APP is streamed out: the wrapper applies the
+                # clip for the primal output, and the backward derives the
+                # inclusive clip_tf_grad mask from it directly — sparing
+                # the backward kernel the whole weighting recompute it
+                # otherwise needs just to rebuild this value
                 if j < self.target:
                     app_scr[j] = app_j
             app_dma = pltpu.make_async_copy(
@@ -280,6 +286,7 @@ class FusedTrainKernel(FusedNMSKernel):
         w_ucn_ref = next(it) if ucn else None
         w_vn_ref = next(it) if vn_mode > 0 else None
         hist_ref = next(it)   # ANY: [T, E, zp, B]
+        pre_ref = next(it)    # ANY: [T, target, zp, B] pre-clip APPs
         gapp_ref = next(it)   # ANY: [T, target, zp, B]
         g_outs = {}
         for kind in ("cn", "ucn", "vn"):
@@ -287,8 +294,10 @@ class FusedTrainKernel(FusedNMSKernel):
                 g_outs[kind] = next(it)   # VMEM [Tp, dimp]
         c2v_scr = next(it)    # VMEM [E, zp, TB]: entry state of iteration t
         gc_scr = next(it)     # VMEM [E, zp, TB]: carry cotangent (VN-aligned)
+        pre_scr = next(it)    # VMEM [target, zp, TB]
         gapp_scr = next(it)   # VMEM [target, zp, TB]
         in_sem = next(it)
+        pre_sem = next(it)
         gin_sem = next(it)
 
         b = pl.program_id(0)
@@ -317,10 +326,14 @@ class FusedTrainKernel(FusedNMSKernel):
             in_dma = pltpu.make_async_copy(
                 hist_ref.at[t, :, :, pl.ds(col, TB)], c2v_scr, in_sem)
             in_dma.start()
+            pre_dma = pltpu.make_async_copy(
+                pre_ref.at[t, :, :, pl.ds(col, TB)], pre_scr, pre_sem)
+            pre_dma.start()
             g_dma = pltpu.make_async_copy(
                 gapp_ref.at[t, :, :, pl.ds(col, TB)], gapp_scr, gin_sem)
             g_dma.start()
             in_dma.wait()
+            pre_dma.wait()
             g_dma.wait()
 
             c2v_read = lambda e: c2v_scr[e]
@@ -334,30 +347,13 @@ class FusedTrainKernel(FusedNMSKernel):
 
             # ---- APP cotangent -> per-edge cotangent (VN-aligned) ----
             # app_j = clip_tf_grad(base_j + sum_e y_e): gradient 1 on the
-            # inclusive [-clip, clip] range (ops/ste.py clip_tf_grad), so
-            # the pre-clip APP must be recomputed; y_e (the unrolled
-            # weighted messages) are recomputed once and reused for both
-            # the mask and the per-edge cotangent fanout.
-            y_new = {}
-            for i in range(self.M):
-                for e in self.cn_edges[i]:
-                    mag = self._ext_mag(i, e, m1, m2, amag)
-                    out_sgn = -(sgn_tot[i] * sgn[e])
-                    c2v = self._weight_edge(
-                        t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref,
-                        u_mask[i] if ucn else None)
-                    y_new[e] = self._unroll(c2v, self.edge_shift[e])
+            # inclusive [-clip, clip] range (ops/ste.py clip_tf_grad).  The
+            # pre-clip APP was streamed out by the forward kernel, so the
+            # mask is a direct compare — no weighting recompute needed.
             g_edge = {}
             for j in range(N):
-                app_pre = None
-                for e in self.vn_edges[j]:
-                    app_pre = y_new[e] if app_pre is None \
-                        else app_pre + y_new[e]
-                base = self._llr_tile_fn(j)
-                if qms:
-                    base = self._quantize(base)
-                app_pre = base if app_pre is None else base + app_pre
                 if j < self.target:
+                    app_pre = pre_scr[j]
                     inside = jnp.logical_and(
                         app_pre >= -cfg.clip_llr,
                         app_pre <= cfg.clip_llr).astype(jnp.float32)
@@ -472,12 +468,16 @@ class FusedTrainKernel(FusedNMSKernel):
                     g_above = ga if g_above is None else g_above + ga
                     g_min = gm if g_min is None else g_min + gm
                 multi = (c1 > 1.0).astype(jnp.float32)
-                denom = jnp.maximum(c1 - 1.0, 1.0)
+                # hoist the per-check reciprocals out of the edge loop —
+                # VPU division is multi-cycle, and the naive form divides
+                # once per edge
+                r_c1 = multi * (g_above / c1)
+                r_den = 1.0 / jnp.maximum(c1 - 1.0, 1.0)
+                base_tied = r_c1 + multi * g_min * r_den + \
+                    (1.0 - multi) * g_above
+                m2_recv = (1.0 - multi) * (g_min / c2)
                 for e in edges:
-                    tied = multi * (g_above / c1 +
-                                    (g_min - g_mags[e]) / denom) + \
-                        (1.0 - multi) * g_above
-                    m2_recv = (1.0 - multi) * (g_min / c2)
+                    tied = base_tied - multi * g_mags[e] * r_den
                     g_amag = is_m1[e] * tied + \
                         (1.0 - is_m1[e]) * is_m2[e] * m2_recv
                     # amag = |xc| (+PAD at exact zeros for MS_RAW):
@@ -571,8 +571,9 @@ class FusedTrainKernel(FusedNMSKernel):
         in_specs = [pl.BlockSpec((N * zp, TB), lambda b: (0, b),
                                  memory_space=pltpu.VMEM)]
         in_specs += [w_spec] * len(self._weight_inputs(1, 1, 1))
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
-                     pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),   # hist
+                     pl.BlockSpec(memory_space=pltpu.ANY),   # pre-clip APPs
+                     pl.BlockSpec(memory_space=pltpu.ANY)]   # APP cotangent
         out_specs, out_shapes = [], []
         self._g_kinds = []
         for kind in ("cn", "ucn", "vn"):
@@ -587,11 +588,13 @@ class FusedTrainKernel(FusedNMSKernel):
         scratch = [pltpu.VMEM((E, zp, TB), jnp.float32),
                    pltpu.VMEM((E, zp, TB), jnp.float32),
                    pltpu.VMEM((target, zp, TB), jnp.float32),
+                   pltpu.VMEM((target, zp, TB), jnp.float32),
+                   pltpu.SemaphoreType.DMA(()),
                    pltpu.SemaphoreType.DMA(()),
                    pltpu.SemaphoreType.DMA(())]
         kernel = functools.partial(FusedTrainKernel._bwd_kernel, self)
 
-        def call(llr_pad, weights, hist, g_apps_pad):
+        def call(llr_pad, weights, hist, apps_pre_pad, g_apps_pad):
             B = llr_pad.shape[-1]
             return pl.pallas_call(
                 kernel, grid=(B // TB,), in_specs=in_specs,
@@ -599,10 +602,10 @@ class FusedTrainKernel(FusedNMSKernel):
                 scratch_shapes=scratch, interpret=self.interpret,
                 cost_estimate=pl.CostEstimate(
                     flops=T * E * zp * B * 40,
-                    bytes_accessed=(llr_pad.size + T * (target + E) * zp * B)
-                    * 4,
+                    bytes_accessed=(llr_pad.size
+                                    + T * (2 * target + E) * zp * B) * 4,
                     transcendentals=0),
-            )(llr_pad, *weights, hist, g_apps_pad)
+            )(llr_pad, *weights, hist, apps_pre_pad, g_apps_pad)
 
         return call
 
@@ -621,30 +624,35 @@ class FusedTrainKernel(FusedNMSKernel):
     def _build_vjp(self):
         z, zp, T, target = self.z, self.zp, self.T, self.target
 
+        clip = self.cfg.clip_llr
+
         def fwd_run(cn, ucn, vn, llr):
             llr_pad = self._pad_llr(llr)
             weights = self._weight_inputs(cn, ucn, vn)
-            apps_pad, hist = self._fwd_call(llr_pad, *weights)
+            pre_pad, hist = self._fwd_call(llr_pad, *weights)
             B = llr.shape[-1]
-            apps = apps_pad[:, :, :z, :].reshape(T, target * z, B)
-            return apps, (llr_pad, hist)
+            # the kernel streams the PRE-clip APPs (the backward's clip
+            # mask source); the primal output applies the clip here
+            apps = jnp.clip(pre_pad[:, :, :z, :], -clip, clip) \
+                .reshape(T, target * z, B)
+            return apps, (llr_pad, hist, pre_pad)
 
         @jax.custom_vjp
         def f(cn, ucn, vn, llr):
             return fwd_run(cn, ucn, vn, llr)[0]
 
         def f_fwd(cn, ucn, vn, llr):
-            apps, (llr_pad, hist) = fwd_run(cn, ucn, vn, llr)
-            return apps, (cn, ucn, vn, llr, llr_pad, hist)
+            apps, (llr_pad, hist, pre_pad) = fwd_run(cn, ucn, vn, llr)
+            return apps, (cn, ucn, vn, llr, llr_pad, hist, pre_pad)
 
         def f_bwd(res, g):
-            cn, ucn, vn, llr, llr_pad, hist = res
+            cn, ucn, vn, llr, llr_pad, hist, pre_pad = res
             B = llr.shape[-1]
             g4 = g.reshape(T, target, z, B)
             if zp > z:
                 g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, zp - z), (0, 0)))
             weights = self._weight_inputs(cn, ucn, vn)
-            outs = self._bwd_call(llr_pad, weights, hist, g4)
+            outs = self._bwd_call(llr_pad, weights, hist, pre_pad, g4)
             grads = {"cn": None, "ucn": None, "vn": None}
             for (kind, d), o in zip(self._g_kinds, outs):
                 grads[kind] = o[:T, :d]
