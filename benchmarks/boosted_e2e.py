@@ -102,7 +102,8 @@ def phase_split(run_dir: str, uncor: str, n_train: int, n_valid: int,
 
 def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
                      n_valid: int, n_test: int, lr: float, seed: int,
-                     eval_batch: int = 0, scan_unroll: int = 0) -> str:
+                     eval_batch: int = 0, scan_unroll: int = 0,
+                     eval_loss: int = 1) -> str:
     from ldpc_error_floor_tpu.pipelines import ExperimentConfig, run_training
     out = os.path.join(run_dir, "Weights",
                        f"{PREFIX}_Opt_Weight_End{TOTAL_ITERS}.txt")
@@ -123,7 +124,8 @@ def phase_post_train(run_dir: str, epochs: int, batch: int, n_train: int,
         snrs=[0.0], seed=seed,
         out_dir=os.path.join(run_dir, "Weights"),
         input_dir=os.path.join(run_dir, "Inputs"),
-        checkpoint_every=10, resume=1, scan_unroll=scan_unroll)
+        checkpoint_every=10, resume=1, scan_unroll=scan_unroll,
+        eval_loss=eval_loss)
     t0 = time.perf_counter()
     res = run_training(cfg, verbose=True, eval_batch=eval_batch or None)
     log(f"post training done in {time.perf_counter() - t0:.0f} s; "
@@ -223,6 +225,10 @@ def main() -> int:
     p.add_argument("--total-iters", type=int, default=30)
     p.add_argument("--code", default="wman_N0576_R34_z24")
     p.add_argument("--sharing", type=int, nargs=3, default=[3, 3, 3])
+    p.add_argument("--no-eval-loss", action="store_true",
+                   help="skip the per-epoch eval loss so evaluation rides "
+                        "the Pallas stats kernel (works around remote-"
+                        "compiler SIGSEGVs on the eval loss program)")
     p.add_argument("--scan-unroll", type=int, default=0,
                    help="force the training scan unroll factor (1 avoids "
                         "remote-compiler SIGSEGVs on some codes; 0 = auto)")
@@ -254,7 +260,8 @@ def main() -> int:
                             args.split[0], args.split[1], args.split[2],
                             args.lr, args.seed,
                             eval_batch=args.post_eval_batch,
-                            scan_unroll=args.scan_unroll)
+                            scan_unroll=args.scan_unroll,
+                            eval_loss=0 if args.no_eval_loss else 1)
     results = phase_eval(args.run_dir, post, args.eval_snrs,
                          args.target_errors, args.max_frames,
                          args.eval_batch, args.seed)

@@ -229,6 +229,7 @@ def campaign_C(results: dict) -> None:
              "--systematic", "--collect-snr", str(collect_snr),
              "--words", "20000", "--post-epochs", "200",
              "--post-batch", "20", "--scan-unroll", "1",
+             "--post-eval-batch", "2048", "--no-eval-loss",
              "--eval-snrs", "3.0", "3.5", "4.0",
              "--target-errors", "50", "--max-frames", "4000000000"],
             check=True, cwd=ROOT)
