@@ -115,6 +115,10 @@ class FusedNMSKernel:
         s = s % z if z else 0
         if s == 0 or z == 1:
             return tile
+        if zp == z:
+            # hardware sublane rotate (Mosaic primitive) — cheaper than the
+            # two-slice concatenate when no pad rows are in the way
+            return pltpu.roll(tile, (-s) % z, 0)
         parts = [tile[s:z], tile[0:s]]
         if zp > z:
             parts.append(tile[z:zp])
