@@ -79,9 +79,14 @@ def main() -> int:
         graph = TannerGraph(code)
         spec = WeightSpec(sharing=sharing, n_iters=iters)
         target = (code.N - code.M) if systematic else 0
+        # scoped VMEM is 16 MiB on v5e: the [E, zp, tb] f32 state plus live
+        # per-edge intermediates overflow tb=256 for big E*zp codes (the
+        # z=64 5G code exceeds the limit by 240 KB — measured compile error)
+        zp = -(-code.z // 8) * 8
+        tb = 256 if (batch % 256 == 0 and graph.E * zp <= 3000) else 128
         dcfg = DecoderConfig(decoding_type=2, q_bit=5, target_node=target,
                              backend="pallas" if on_tpu else "xla",
-                             pallas_tb=256 if batch % 256 == 0 else 128,
+                             pallas_tb=tb,
                              pallas_early_stop=on_tpu)
         dec = NMSDecoder(code, dcfg, spec, graph=graph)
         params = (load_params(spec, graph, weights) if weights

