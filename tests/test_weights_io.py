@@ -106,3 +106,28 @@ def test_bundled_json_matches_reference_text():
     for k in ("cn", "ucn", "vn"):
         for a, b in zip(blocks_t[k], blocks_j[k]):
             np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_bundled_framework_trained_sets_load():
+    """Round-3 additions: weight sets TRAINED BY THIS FRAMEWORK are bundled
+    alongside the converted reference artifacts (provenance in each JSON's
+    'source' field; runs under benchmarks/runs/)."""
+    sets = available_weight_sets()
+    cases = [
+        ("wman_N0576_R34_z24_boosted30", "wman_N0576_R34_z24",
+         (3, 3, 3), 30),
+        ("5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320_base20",
+         "5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320", (2, 2, 2), 20),
+        ("5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320_boosted30",
+         "5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320", (2, 2, 2), 30),
+    ]
+    for name, code_name, sharing, n_iters in cases:
+        assert name in sets
+        code = get_code(code_name)
+        graph = TannerGraph(code)
+        spec = WeightSpec(sharing=sharing, n_iters=n_iters)
+        params = load_params(spec, graph, name)
+        for k in ("cn", "ucn", "vn"):
+            arr = np.asarray(params[k])
+            assert arr.shape[0] == n_iters
+            assert arr.min() >= 0.0 and arr.max() <= 2.0
