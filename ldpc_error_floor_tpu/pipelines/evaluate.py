@@ -164,22 +164,36 @@ class Evaluator:
         etha = jnp.float32(etha)
 
         if self.fused and collect_uncor_path is None:
-            fn = self._get_fused(batch_num, n_snr, data is not None)
-            sigmas = jnp.asarray(snr_sigmas)
-            if data is not None:
-                rows = jnp.asarray(data[:batch_num * batch], jnp.float32)
-                ints, losses = fn(params, rows, sigmas, labels, etha)
+            try:
+                fn = self._get_fused(batch_num, n_snr, data is not None)
+                sigmas = jnp.asarray(snr_sigmas)
+                if data is not None:
+                    rows = jnp.asarray(data[:batch_num * batch], jnp.float32)
+                    ints, losses = fn(params, rows, sigmas, labels, etha)
+                else:
+                    ints, losses = fn(params, key, sigmas, labels, etha)
+            except jax.errors.JaxRuntimeError as e:
+                if "INTERNAL" not in str(e):
+                    raise
+                # the big fused sweep program crashed the (remote) compiler
+                # (observed: tpu_compile_helper SIGSEGV on some codes) —
+                # degrade permanently to per-batch dispatches rather than
+                # kill a multi-hour training run
+                import warnings
+                warnings.warn("fused evaluator sweep failed to compile "
+                              f"({str(e).splitlines()[0][:120]}); falling "
+                              "back to per-batch evaluation")
+                self.fused = False
             else:
-                ints, losses = fn(params, key, sigmas, labels, etha)
-            # per-batch [batch_num, n_snr, {3,}] -> float64 totals on host
-            ints = np.asarray(ints, np.float64).sum(axis=0)   # [n_snr, 3]
-            losses = np.asarray(losses, np.float64).sum(axis=0)
-            results = np.zeros((4, n_snr), np.float64)
-            results[0] = ints[:, 0] / (batch * nbits) / batch_num
-            results[1] = ints[:, 1] / batch / batch_num
-            results[2] = ints[:, 2] / batch / batch_num
-            results[3] = losses / batch_num
-            return results, time.perf_counter() - t0
+                # per-batch [batch_num, n_snr, {3,}] -> float64 totals
+                ints = np.asarray(ints, np.float64).sum(axis=0)  # [n_snr, 3]
+                losses = np.asarray(losses, np.float64).sum(axis=0)
+                results = np.zeros((4, n_snr), np.float64)
+                results[0] = ints[:, 0] / (batch * nbits) / batch_num
+                results[1] = ints[:, 1] / batch / batch_num
+                results[2] = ints[:, 2] / batch / batch_num
+                results[3] = losses / batch_num
+                return results, time.perf_counter() - t0
 
         # per-batch host loop: collection mode (must drain hits) and the
         # reference-semantics twin for tests

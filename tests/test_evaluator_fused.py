@@ -65,3 +65,28 @@ def test_fused_under_mesh_matches_single(setup):
     meshed, _ = Evaluator(dec, ch, fused=True, mesh=data_mesh(8), **kw).run(
         params, sigmas, 128, 0.0, key=key)
     np.testing.assert_allclose(single[:3], meshed[:3], rtol=1e-6)
+
+
+def test_fused_compile_failure_falls_back_to_per_batch(setup, monkeypatch):
+    """A remote-compiler crash on the fused sweep must degrade to the
+    per-batch path (same counters), not kill the run (round-3 environment:
+    tpu_compile_helper SIGSEGVs on some codes' sweep programs)."""
+    code, dec, ch, params = setup
+    sigmas = code.snr_sigmas([2.0, 3.0])
+    key = jax.random.PRNGKey(3)
+    kw = dict(loss_type=0, t_lo=0, batch=32, compute_loss=True)
+    want, _ = Evaluator(dec, ch, fused=False, **kw).run(
+        params, sigmas, 64, 0.0, key=key)
+
+    ev2 = Evaluator(dec, ch, fused=True, **kw)
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: remote_compile: HTTP 500: tpu_compile_helper "
+            "subprocess exit signal SIGSEGV (11)")
+
+    monkeypatch.setattr(ev2, "_get_fused", boom)
+    with pytest.warns(UserWarning, match="falling back"):
+        got, _ = ev2.run(params, sigmas, 64, 0.0, key=key)
+    assert not ev2.fused
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
