@@ -126,9 +126,13 @@ def fer_curve(tag: str, code: str, weights, sharing, iters: int, snrs,
     spec = WeightSpec(sharing=tuple(sharing), n_iters=iters)
     on_tpu = jax.default_backend() == "tpu"
     target = (code_obj.N - code_obj.M) if systematic else 0
+    # scoped VMEM is 16 MiB: tb 256 overflows for big E*zp codes (z=64 5G
+    # measured 240 KB over) — size the tile like all_codes_sweep.py
+    zp = -(-code_obj.z // 8) * 8
+    tb = 256 if graph.E * zp <= 3000 else 128
     dcfg = DecoderConfig(decoding_type=2, q_bit=5, target_node=target,
                          backend="pallas" if on_tpu else "xla",
-                         pallas_tb=256, pallas_early_stop=on_tpu)
+                         pallas_tb=tb, pallas_early_stop=on_tpu)
     dec = NMSDecoder(code_obj, dcfg, spec, graph=graph)
     params = (load_params(spec, graph, weights) if weights
               else init_weights(spec, graph))
@@ -238,6 +242,22 @@ def campaign_C(results: dict) -> None:
     save_results(results)
 
 
+def campaign_D(results: dict) -> None:
+    """BASELINE config #4: the z=64 5G code with the BLOCK-WISE schedule
+    (Delta1=10 -> blocks [0,10) then [10,20) with the frozen-prefix load,
+    `main_Base.py:108-110`) at the full recipe, vs plain QMS."""
+    code = "5G_LDPC_R0.50_n_dec1280_n1024_k512_z64_s513_640"
+    snrs_train = [1.0, 1.5, 2.0, 2.5, 3.0]
+    wt = train("5g_z64_blockwise", code, (2, 2, 2), 20, snrs_train,
+               systematic=1, iter_step=10, scan_unroll=1,
+               eval_batch=2048, cfg_extra=dict(eval_loss=0))
+    curve = [2.0, 2.5, 3.0]
+    kw = dict(target_errors=100, max_frames=1e9, results=results,
+              systematic=1, batch=32768)
+    fer_curve("5g_z64_blockwise20", code, wt, (2, 2, 2), 20, curve, **kw)
+    fer_curve("5g_z64_plain_qms20", code, None, (0, 0, 0), 20, curve, **kw)
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--only", nargs="+", default=["A", "B", "C"])
@@ -247,7 +267,7 @@ def main() -> int:
     os.makedirs(RUN_DIR, exist_ok=True)
     results = load_results()
     for name, fn in (("A", campaign_A), ("B", campaign_B),
-                     ("C", campaign_C)):
+                     ("C", campaign_C), ("D", campaign_D)):
         if name in args.only:
             log(f"=== campaign {name} ===")
             fn(results)

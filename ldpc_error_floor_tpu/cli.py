@@ -201,9 +201,11 @@ def _cmd_simulate(args) -> int:
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    # kernel tiles must divide the PER-DEVICE batch under a mesh
+    # kernel tiles must divide the PER-DEVICE batch under a mesh;
+    # auto_tb also respects the 16 MiB scoped-VMEM limit for big E*zp codes
+    from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
     local = args.batch // jax.device_count() if args.mesh else args.batch
-    tb = 256 if local % 256 == 0 else 128
+    tb = auto_tb(code, local)
     if local % tb != 0:
         backend = "xla"
     target = (code.N - code.M) if args.systematic else 0

@@ -53,6 +53,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def auto_tb(code_or_graph, local_batch: int) -> int:
+    """Pick the kernel batch-tile width for a code.
+
+    Scoped VMEM on v5e is 16 MiB (measured compile error, round 3): the
+    [E, zp, tb] f32 state plus live per-edge trace intermediates overflow
+    tb=256 once E*zp grows past ~3000 (the z=64 5G code exceeded the limit
+    by 240 KB).  Accepts a `Code` or `TannerGraph`."""
+    E = getattr(code_or_graph, "E", None)       # TannerGraph
+    if E is None:
+        E = getattr(code_or_graph, "n_edges", None)  # Code
+    z = getattr(code_or_graph, "z", None)
+    if z is None:  # TannerGraph carries its Code
+        z = code_or_graph.code.z
+    if E is None or z is None:
+        raise TypeError("auto_tb wants a Code or TannerGraph")
+    zp = _round_up(max(int(z), 1), 8)
+    if local_batch % 256 == 0 and int(E) * zp <= 3000:
+        return 256
+    return 128
+
+
 class FusedNMSKernel:
     """Code-generated fused decode kernel for one (graph, config, spec).
 

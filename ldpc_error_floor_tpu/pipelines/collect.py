@@ -49,8 +49,9 @@ def run_collection(cfg: ExperimentConfig, weight_file: Optional[str] = None,
     params = load_params(spec, graph, weight_file)
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
     local = batch // mesh.shape["data"] if mesh is not None else batch
-    tb = 256 if local % 256 == 0 else 128
+    tb = auto_tb(code, local)
     if local % tb != 0:
         backend = "xla"  # kernel tiles must divide the per-device batch
     target = (code.N - code.M) if cfg.systematic else 0

@@ -155,11 +155,17 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         # (tests/test_pallas_train.py), throughput is several x
         dcfg_scan = dcfg
         local_bs = cfg.batch_size // (mesh.shape["data"] if mesh else 1)
+        zp8 = -(-code.z // 8) * 8
         if (jax.default_backend() == "tpu" and cfg.decoding_type != 0
-                and not cfg.scan_unroll and local_bs % 128 == 0):
-            dcfg = dataclasses_replace(
-                dcfg, backend="pallas",
-                pallas_tb=256 if local_bs % 256 == 0 else 128)
+                and not cfg.scan_unroll and local_bs % 128 == 0
+                and graph.E * zp8 <= 3000):
+            # tb is 128, NOT 256: the backward kernel's scratch (2x
+            # [E, zp, tb] state + live per-edge intermediates) exceeds the
+            # 16 MiB scoped-VMEM limit at tb 256 (measured compile failure
+            # even for wman); 128 is the knee.  Codes with E*zp > ~3000
+            # stay on the scan backend for the same reason.
+            dcfg = dataclasses_replace(dcfg, backend="pallas",
+                                       pallas_tb=128)
         decoder = NMSDecoder(code, dcfg, spec, graph=graph)
         optimizer = make_optimizer(cfg.learn_rate_start)
         opt_state = optimizer.init(params)
@@ -172,10 +178,10 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         eval_decoder = NMSDecoder(code, dcfg_scan, spec, graph=graph)
         if not need_loss and jax.default_backend() == "tpu" and eb % 128 == 0:
             # stats-only eval rides the fused Pallas kernel
+            from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
             eval_decoder = NMSDecoder(
                 code, dataclasses_replace(dcfg_scan, backend="pallas",
-                                          pallas_tb=256 if eb % 256 == 0
-                                          else 128),
+                                          pallas_tb=auto_tb(graph, eb)),
                 spec, graph=graph)
         evaluator = Evaluator(eval_decoder, channel, cfg.loss_type, t_lo=t_lo,
                               batch=eb, compute_loss=need_loss, mesh=mesh)
