@@ -176,8 +176,13 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         # own decoder: scan config by default, fused stats kernel when the
         # batch allows and no loss is needed
         eval_decoder = NMSDecoder(code, dcfg_scan, spec, graph=graph)
-        if not need_loss and jax.default_backend() == "tpu" and eb % 128 == 0:
-            # stats-only eval rides the fused Pallas kernel
+        if (not need_loss and jax.default_backend() == "tpu"
+                and eb % 128 == 0 and graph.E * zp8 <= 3000):
+            # stats-only eval rides the fused Pallas kernel.  Big E*zp
+            # codes stay on the scan decoder: the z=64 5G eval program
+            # exceeded the 16 MiB scoped-VMEM limit even at tb=128
+            # (measured compile failure), so the same guard as the fused
+            # train path applies.
             from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
             eval_decoder = NMSDecoder(
                 code, dataclasses_replace(dcfg_scan, backend="pallas",
