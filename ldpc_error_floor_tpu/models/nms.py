@@ -121,18 +121,6 @@ class DeployResult(NamedTuple):
         return jnp.logical_and(self.wrong, jnp.logical_not(self.detected_fail))
 
 
-def _extrinsic_min(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
-    """For each slot d: min over all other slots along `axis` (identity 1e4)."""
-    ident = jnp.full_like(lax.slice_in_dim(x, 0, 1, axis=axis), _PAD_MAG)
-    inc_f = lax.cummin(x, axis=axis)
-    inc_b = lax.cummin(x, axis=axis, reverse=True)
-    f = jnp.concatenate([ident, lax.slice_in_dim(inc_f, 0, x.shape[axis] - 1,
-                                                 axis=axis)], axis=axis)
-    b = jnp.concatenate([lax.slice_in_dim(inc_b, 1, x.shape[axis], axis=axis),
-                         ident], axis=axis)
-    return jnp.minimum(f, b)
-
-
 @jax.custom_vjp
 def _extrinsic_min_slots(amag: jnp.ndarray) -> jnp.ndarray:
     """Per-slot extrinsic min over axis 1: out[.., d, ..] = min over j != d of
@@ -337,6 +325,12 @@ class NMSDecoder:
                 self._fused_train = FusedTrainKernel(self.graph, cfg, spec,
                                                      tb=cfg.pallas_tb)
             apps = self._fused_train.apps(stacked, llr)
+            # NOTE: on this path `app_last` is the TARGET-RESTRICTED final
+            # APP ([target*z, B]) because the kernel only streams target
+            # columns, while the scan collect='apps' path returns the full
+            # [N*z, B] APP.  Training consumers read `.apps` only; anything
+            # needing the full APP under systematic targets must use the
+            # scan backend or collect='app_last'.
             return DecodeResult(apps[-1], None, None, apps, None)
         N, M, z, Dv, Dc = self.N, self.M, self.z, self.Dv, self.Dc
         B = llr.shape[-1]

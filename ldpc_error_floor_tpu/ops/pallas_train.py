@@ -535,8 +535,8 @@ class FusedTrainKernel(FusedNMSKernel):
         in_specs = [pl.BlockSpec((N * zp, TB), lambda b: (0, b),
                                  memory_space=pltpu.VMEM)]
         in_specs += [w_spec] * len(self._weight_inputs(1, 1, 1))
-        out_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
-                     pl.BlockSpec(memory_space=pltpu.ANY)]
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
         scratch = [pltpu.VMEM((E, zp, TB), jnp.float32),
                    pltpu.VMEM((target, zp, TB), jnp.float32),
                    pltpu.SemaphoreType.DMA(()),
@@ -571,9 +571,9 @@ class FusedTrainKernel(FusedNMSKernel):
         in_specs = [pl.BlockSpec((N * zp, TB), lambda b: (0, b),
                                  memory_space=pltpu.VMEM)]
         in_specs += [w_spec] * len(self._weight_inputs(1, 1, 1))
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),   # hist
-                     pl.BlockSpec(memory_space=pltpu.ANY),   # pre-clip APPs
-                     pl.BlockSpec(memory_space=pltpu.ANY)]   # APP cotangent
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # hist
+                     pl.BlockSpec(memory_space=pl.ANY),   # pre-clip APPs
+                     pl.BlockSpec(memory_space=pl.ANY)]   # APP cotangent
         out_specs, out_shapes = [], []
         self._g_kinds = []
         for kind in ("cn", "ucn", "vn"):

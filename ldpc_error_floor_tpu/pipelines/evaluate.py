@@ -172,13 +172,16 @@ class Evaluator:
                     ints, losses = fn(params, rows, sigmas, labels, etha)
                 else:
                     ints, losses = fn(params, key, sigmas, labels, etha)
-            except jax.errors.JaxRuntimeError as e:
-                if "INTERNAL" not in str(e):
-                    raise
-                # the big fused sweep program crashed the (remote) compiler
-                # (observed: tpu_compile_helper SIGSEGV on some codes) —
-                # degrade permanently to per-batch dispatches rather than
-                # kill a multi-hour training run
+            except (ValueError, TypeError):
+                # argument/shape errors are user-caused — surface them
+                raise
+            except Exception as e:
+                # the big fused sweep program failed to compile or crashed
+                # the (remote) compiler — observed as tpu_compile_helper
+                # SIGSEGV (INTERNAL), VMEM RESOURCE_EXHAUSTED, and Mosaic
+                # lowering exceptions on some codes.  Degrade permanently to
+                # per-batch dispatches rather than kill a multi-hour
+                # training run.
                 import warnings
                 warnings.warn("fused evaluator sweep failed to compile "
                               f"({str(e).splitlines()[0][:120]}); falling "
