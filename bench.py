@@ -134,12 +134,16 @@ def main():
     n_steps = 10
     cfgs_t = []
     if on_tpu:
-        # fused differentiable Pallas path (the pipeline default on TPU;
-        # tb 256 overflows VMEM in the backward kernel — 128 is the knee)
+        # fused differentiable Pallas path (the pipeline default on TPU);
+        # the round-4 in-place kernels fit tb 256 for wman — try both tiles
         for batch in (2048, 8192, 32768):
             cfgs_t.append((batch, "pallas", DecoderConfig(
                 decoding_type=2, q_bit=5, backend="pallas",
                 pallas_tb=128)))
+        for batch in (8192, 32768):
+            cfgs_t.append((batch, "pallas256", DecoderConfig(
+                decoding_type=2, q_bit=5, backend="pallas",
+                pallas_tb=256)))
         # scan path for reference (full unroll + no remat policy)
         cfgs_t.append((2048, "scan", DecoderConfig(
             decoding_type=2, q_bit=5, unroll=T)))

@@ -201,14 +201,15 @@ def _cmd_simulate(args) -> int:
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    # kernel tiles must divide the PER-DEVICE batch under a mesh;
-    # auto_tb also respects the 16 MiB scoped-VMEM limit for big E*zp codes
+    # kernel tiles must divide the PER-DEVICE batch under a mesh; auto_tb
+    # sizes the tile from the modeled scoped-VMEM footprint (kernel_vmem_bytes)
     from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
     local = args.batch // jax.device_count() if args.mesh else args.batch
-    tb = auto_tb(code, local)
-    if local % tb != 0:
-        backend = "xla"
     target = (code.N - code.M) if args.systematic else 0
+    tb = auto_tb(graph, local, mode="stats", ucn=spec.ucn_enabled,
+                 target=target, n_iters=args.iters)
+    if tb is None:
+        backend, tb = "xla", 128
     dec = NMSDecoder(code, DecoderConfig(decoding_type=args.decoding_type,
                                          q_bit=args.q_bit, backend=backend,
                                          pallas_tb=tb,

@@ -34,6 +34,7 @@ decoder instead.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -53,25 +54,92 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def auto_tb(code_or_graph, local_batch: int) -> int:
-    """Pick the kernel batch-tile width for a code.
+#: Scoped-VMEM budget available to one Pallas kernel invocation.  16 MiB was
+#: measured on v5e via compile errors (round 3); other generations can be
+#: set with LDPC_SCOPED_VMEM (bytes).
+SCOPED_VMEM_BYTES = int(os.environ.get("LDPC_SCOPED_VMEM", 16 * 2 ** 20))
 
-    Scoped VMEM on v5e is 16 MiB (measured compile error, round 3): the
-    [E, zp, tb] f32 state plus live per-edge trace intermediates overflow
-    tb=256 once E*zp grows past ~3000 (the z=64 5G code exceeded the limit
-    by 240 KB).  Accepts a `Code` or `TannerGraph`."""
-    E = getattr(code_or_graph, "E", None)       # TannerGraph
-    if E is None:
-        E = getattr(code_or_graph, "n_edges", None)  # Code
-    z = getattr(code_or_graph, "z", None)
-    if z is None:  # TannerGraph carries its Code
-        z = code_or_graph.code.z
-    if E is None or z is None:
-        raise TypeError("auto_tb wants a Code or TannerGraph")
-    zp = _round_up(max(int(z), 1), 8)
-    if local_batch % 256 == 0 and int(E) * zp <= 3000:
-        return 256
-    return 128
+
+def _as_graph(code_or_graph) -> TannerGraph:
+    if isinstance(code_or_graph, TannerGraph):
+        return code_or_graph
+    return TannerGraph(code_or_graph)
+
+
+def kernel_vmem_bytes(code_or_graph, tb: int, n_iters: int = 20,
+                      mode: str = "stats", ucn: bool = False,
+                      target: int = 0) -> int:
+    """Model of a fused kernel's peak VMEM footprint (bytes).
+
+    Replaces round 3's hand-tuned ``E*zp <= 3000`` eligibility constant
+    (which lived in three places and was re-discovered by compile failure
+    whenever a new code crossed it).  Terms, per batch tile of ``tb``
+    lanes with ``tile = zp*tb*4`` bytes:
+
+    * explicit scratch buffers (the in-place [E, zp, tb] edge state; the
+      APP scratch for UCN/deploy/train modes; the backward's second edge
+      buffer and cotangent tiles);
+    * pipeline blocks: Pallas double-buffers each VMEM in/out block
+      across grid steps (2x the llr input and the kernel outputs);
+    * live loop temporaries: the weighted-channel tile list (N) plus the
+      deg-sized per-check working set of the min1/min2 reduction, scaled
+      by a margin for Mosaic's register spills / scheduling slack, plus
+      UCN's parity tiles (N) and masks (M) when enabled.
+
+    Calibrated against measured v5e compile results (round 4) in
+    tests/test_vmem_budget.py; `auto_tb` consults it to pick the largest
+    fitting tile, so new codes/hardware pick their knee from the model
+    instead of a magic number."""
+    g = _as_graph(code_or_graph)
+    code = g.code
+    z = max(int(code.z), 1)
+    zp = _round_up(z, 8)
+    E, N, M = int(g.E), int(code.N), int(code.M)
+    Dc = int(g.Dc)
+    tile = zp * tb * 4
+    Tp = _round_up(max(n_iters, 1), 8)
+    tgt = target if target and target > 0 else N
+    ucn_extra = (N + M) * tile if ucn else 0
+    if mode == "stats" or mode == "deploy":
+        scratch = E * tile
+        if ucn or mode == "deploy":
+            scratch += N * tile
+        io = 2 * N * tile + 2 * N * tile          # llr in, app out
+        io += 2 * 2 * Tp * tb * 4 if mode == "stats" else 2 * 8 * tb * 4
+        live = (N + 3 * Dc + 6) * tile + ucn_extra
+    elif mode == "train_fwd":
+        scratch = (E + tgt) * tile                # c2v state + APP stream
+        io = 2 * N * tile                         # llr in (hist/apps are HBM)
+        live = (N + 3 * Dc + 6) * tile + ucn_extra
+    elif mode in ("train_bwd", "train"):
+        # two edge buffers (state + cotangent carry), pre-clip APP +
+        # cotangent tiles, and a wider per-check working set (amag/sgn/
+        # g_mags/is_m1/is_m2 + the rolled cotangent)
+        scratch = (2 * E + 2 * tgt) * tile
+        io = 2 * N * tile + 3 * 2 * Tp * 512 * 4  # llr in + grad rows
+        live = (2 * N + 6 * Dc + 8) * tile + ucn_extra
+    else:
+        raise ValueError(f"bad mode {mode!r}")
+    return scratch + io + live + 512 * 1024       # fixed Mosaic overhead
+
+
+def auto_tb(code_or_graph, local_batch: int, mode: str = "stats",
+            ucn: bool = False, target: int = 0, n_iters: int = 20,
+            limit: Optional[int] = None) -> Optional[int]:
+    """Largest batch-tile width (lanes) whose modeled VMEM footprint fits
+    the scoped-VMEM budget and which divides ``local_batch``.
+
+    ``mode``: 'stats' / 'deploy' / 'train' (= the train pair, bounded by
+    its backward kernel).  Returns ``None`` when no tile fits — callers
+    fall back to the scan backend."""
+    limit = SCOPED_VMEM_BYTES if limit is None else limit
+    for tb in (256, 128):
+        if local_batch % tb != 0:
+            continue
+        if kernel_vmem_bytes(code_or_graph, tb, n_iters=n_iters, mode=mode,
+                             ucn=ucn, target=target) <= limit:
+            return tb
+    return None
 
 
 class FusedNMSKernel:
@@ -207,9 +275,22 @@ class FusedNMSKernel:
 
         def iteration(t):
             """One full decoding iteration (steps 1-7 + APP/stat compute).
+
+            VMEM design (round 4): the per-edge state buffer `c2v_scr` is
+            updated IN PLACE through the iteration's three phases — it
+            holds the previous iteration's C->V messages entering the VN
+            phase, the check-aligned V->C messages between the VN and CN
+            phases, and the new (VN-aligned) C->V messages afterwards.
+            Each edge belongs to exactly one VN and one CN, and each phase
+            reads a node's edges before overwriting them, so this is safe
+            — and it collapses what used to be three live E-sized tile
+            sets (state, xc dict, c2v_new dict) into one, which is what
+            lets the big codes (z=64/z=72 5G) fit the 16 MiB scoped-VMEM
+            budget that excluded them in round 3.
+
             Writes the new C->V state to `c2v_scr`; returns the per-VN APP
-            tiles plus per-lane bit-error count / frame-wrong flags, leaving
-            all output/freeze bookkeeping to the mode-specific loop."""
+            tiles plus per-lane bit-error count / frame-wrong flags,
+            leaving output/freeze bookkeeping to the mode-specific loop."""
             # (1) weighted (and quantized) channel input — reference 164-177
             llr_w = []
             for j in range(N):
@@ -240,29 +321,34 @@ class FusedNMSKernel:
                         prod = pe if prod is None else prod * pe
                     u_mask.append((prod < 0.0).astype(jnp.float32))
 
-            # (3) VN update: channel + extrinsic C->V sums — reference 212-230
-            xc: Dict[int, jnp.ndarray] = {}
+            # (3) VN update: channel + extrinsic C->V sums — reference
+            # 212-230; (4) route to check alignment (circulant shift).
+            # c2v_scr[e] transitions: prev C->V  ->  check-aligned V->C.
             for j in range(N):
+                edges_j = self.vn_edges[j]
                 s_j = None
-                for e in self.vn_edges[j]:
+                for e in edges_j:
                     c = c2v_scr[e]
                     s_j = c if s_j is None else s_j + c
                 tot = llr_w[j] if s_j is None else llr_w[j] + s_j
-                for e in self.vn_edges[j]:
+                vs = []
+                for e in edges_j:
                     v = tot - c2v_scr[e]
                     v = self._mag_clip(v)
                     if nudge:
                         v = jnp.where(v == 0.0, _EPS_MSG, v)
-                    # (4) route to check alignment (circulant shift)
-                    xc[e] = self._roll(v, self.edge_shift[e])
+                    vs.append(self._roll(v, self.edge_shift[e]))
+                for e, v in zip(edges_j, vs):
+                    c2v_scr[e] = v
 
-            # (5) CN update + (6) neural weighting — reference 231-316
-            c2v_new: Dict[int, jnp.ndarray] = {}
+            # (5) CN update + (6) neural weighting + (7) route back —
+            # reference 231-316.  c2v_scr[e]: V->C  ->  new VN-aligned C->V.
             for i in range(M):
                 edges = self.cn_edges[i]
                 if sp:
+                    xs = [c2v_scr[e] for e in edges]
                     tt = [jnp.where(v == 0.0, 1.0, v) for v in
-                          (jnp.tanh(-0.5 * xc[e]) for e in edges)]
+                          (jnp.tanh(-0.5 * x) for x in xs)]
                     deg = len(edges)
                     fwd = [None] * deg  # product of tt[:k]
                     bwd = [None] * deg  # product of tt[k+1:]
@@ -284,16 +370,17 @@ class FusedNMSKernel:
                             p = fwd[k] * bwd[k]
                         p = jnp.clip(p, -1.0 + 1e-7, 1.0 - 1e-7)
                         out = -2.0 * jnp.arctanh(p)
-                        c2v_new[e] = self._weight_edge(
+                        y = self._weight_edge(
                             t, i, e, jnp.abs(out), jnp.sign(out),
                             w_cn_ref, w_ucn_ref,
                             u_mask[i] if ucn else None)
+                        c2v_scr[e] = self._unroll(y, self.edge_shift[e])
                 else:
                     m1 = m2 = None
                     sgn_tot = None
                     mags, sgns = {}, {}
                     for e in edges:
-                        x = xc[e]
+                        x = c2v_scr[e]
                         # the eps nudge guarantees x != 0 for MS/QMS, so the
                         # reference's zero->sentinel guard is only needed
                         # when the nudge is off (MS_RAW)
@@ -313,18 +400,18 @@ class FusedNMSKernel:
                         mag = jnp.where(jnp.abs(mag) <= _EPS_MSG,
                                         mag - _EPS_MSG, mag)
                         out_sgn = -(sgn_tot * sgns[e])
-                        c2v_new[e] = self._weight_edge(
+                        y = self._weight_edge(
                             t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref,
                             u_mask[i] if ucn else None)
+                        c2v_scr[e] = self._unroll(y, self.edge_shift[e])
 
-            # (7) route back + store; (8) APP + per-lane stats — reference 317-335
+            # (8) APP + per-lane stats — reference 317-335
             nerr_tot = None
             apps = []
             for j in range(N):
                 app_j = None
                 for e in self.vn_edges[j]:
-                    c = self._unroll(c2v_new[e], self.edge_shift[e])
-                    c2v_scr[e] = c
+                    c = c2v_scr[e]
                     app_j = c if app_j is None else app_j + c
                 base = llr_tile(j)
                 if qms:

@@ -143,57 +143,45 @@ class FusedTrainKernel(FusedNMSKernel):
             u_mask.append((prod < 0.0).astype(jnp.float32))
         return u_mask
 
-    def _vn_update(self, llr_w, c2v_read):
-        """Returns (tot per VN, v2c_pre per edge (pre-clip/quant, VN-aligned),
-        xc per edge (CN-aligned, post clip/quant/nudge))."""
+    def _minsum_check(self, edges, x_of):
+        """Running min1/min2/sign reduction over one check's edges.
+        ``x_of(e)`` yields the check-aligned V->C message.  Returns
+        (m1, m2, sgn_tot, amag dict, sgn dict) — deg-sized locals only."""
         nudge = self.cfg.decoding_type in (MS, QMS)
-        tot, v2c_pre, xc = {}, {}, {}
-        for j in range(self.N):
-            s_j = None
-            for e in self.vn_edges[j]:
-                c = c2v_read(e)
-                s_j = c if s_j is None else s_j + c
-            tot[j] = llr_w[j] if s_j is None else llr_w[j] + s_j
-            for e in self.vn_edges[j]:
-                v_pre = tot[j] - c2v_read(e)
-                v2c_pre[e] = v_pre
-                v = self._mag_clip(v_pre)
-                if nudge:
-                    v = jnp.where(v == 0.0, _EPS_MSG, v)
-                xc[e] = self._roll(v, self.edge_shift[e])
-        return tot, v2c_pre, xc
-
-    def _cn_minsum(self, xc):
-        """Per-check running min1/min2/sign reduction.  Returns dicts keyed
-        by check: m1, m2, sgn_tot; and by edge: amag, sgn."""
-        nudge = self.cfg.decoding_type in (MS, QMS)
-        m1, m2, sgn_tot = {}, {}, {}
+        a1 = a2 = st = None
         amag, sgn = {}, {}
-        for i in range(self.M):
-            a1 = a2 = st = None
-            for e in self.cn_edges[i]:
-                x = xc[e]
-                a = jnp.abs(x) if nudge else \
-                    jnp.where(x == 0.0, _PAD_MAG, jnp.abs(x))
-                s_ = jnp.where(x > 0.0, -1.0, 1.0)
-                amag[e], sgn[e] = a, s_
-                if a1 is None:
-                    a1, a2 = a, jnp.full_like(a, _PAD_MAG)
-                    st = s_
-                else:
-                    a2 = jnp.minimum(a2, jnp.maximum(a1, a))
-                    a1 = jnp.minimum(a1, a)
-                    st = st * s_
-            m1[i], m2[i], sgn_tot[i] = a1, a2, st
-        return m1, m2, sgn_tot, amag, sgn
+        for e in edges:
+            x = x_of(e)
+            a = jnp.abs(x) if nudge else \
+                jnp.where(x == 0.0, _PAD_MAG, jnp.abs(x))
+            s_ = jnp.where(x > 0.0, -1.0, 1.0)
+            amag[e], sgn[e] = a, s_
+            if a1 is None:
+                a1, a2 = a, jnp.full_like(a, _PAD_MAG)
+                st = s_
+            else:
+                a2 = jnp.minimum(a2, jnp.maximum(a1, a))
+                a1 = jnp.minimum(a1, a)
+                st = st * s_
+        return a1, a2, st, amag, sgn
 
-    def _ext_mag(self, i, e, m1, m2, amag):
-        """Extrinsic min for edge e of check i + the eps adjustment
-        (forward value fed to the neural weighting)."""
-        mag = jnp.where(amag[e] == m1[i], m2[i], m1[i])
+    @staticmethod
+    def _ext_mag(m1, m2, amag_e):
+        """Extrinsic min for one edge + the eps adjustment (forward value
+        fed to the neural weighting)."""
+        mag = jnp.where(amag_e == m1, m2, m1)
         return jnp.where(jnp.abs(mag) <= _EPS_MSG, mag - _EPS_MSG, mag)
 
     # ----- forward kernel ------------------------------------------------------
+    #
+    # VMEM design (round 4, shared with ops/pallas_decoder.py): the per-edge
+    # buffer `c2v_scr` is updated IN PLACE through the iteration — previous
+    # C->V messages -> check-aligned V->C messages (VN phase) -> new
+    # VN-aligned C->V messages (CN phase).  Each edge belongs to exactly one
+    # VN and one CN and each phase reads a node's edges before overwriting
+    # them, so one E-sized buffer replaces the three live E-sized dicts of
+    # the round-3 kernel — which is what lets the z=64/z=72 5G codes fit the
+    # 16 MiB scoped-VMEM budget on the *training* path too.
 
     def _fwd_kernel(self, *refs):
         cfg, spec = self.cfg, self.spec
@@ -201,6 +189,7 @@ class FusedTrainKernel(FusedNMSKernel):
         cn_mode, ucn_mode, vn_mode = spec.sharing
         ucn = spec.ucn_enabled
         qms = cfg.decoding_type == QMS
+        nudge = cfg.decoding_type in (MS, QMS)
 
         it = iter(refs)
         llr_ref = next(it)
@@ -229,25 +218,45 @@ class FusedTrainKernel(FusedNMSKernel):
             c2v_read = lambda e: c2v_scr[e]
             _, llr_w = self._llr_weighted(self._llr_tile_fn, w_vn_ref, t)
             u_mask = self._ucn_masks(llr_w, c2v_read, t)
-            _, _, xc = self._vn_update(llr_w, c2v_read)
-            m1, m2, sgn_tot, amag, sgn = self._cn_minsum(xc)
 
-            c2v_new = {}
+            # the checkpoint must land before the VN phase overwrites state
+            hist_dma.wait()
+
+            # VN phase: c2v_scr[e] -> check-aligned V->C message (in place)
+            for j in range(N):
+                edges_j = self.vn_edges[j]
+                s_j = None
+                for e in edges_j:
+                    c = c2v_scr[e]
+                    s_j = c if s_j is None else s_j + c
+                tot = llr_w[j] if s_j is None else llr_w[j] + s_j
+                vs = []
+                for e in edges_j:
+                    v = self._mag_clip(tot - c2v_scr[e])
+                    if nudge:
+                        v = jnp.where(v == 0.0, _EPS_MSG, v)
+                    vs.append(self._roll(v, self.edge_shift[e]))
+                for e, v in zip(edges_j, vs):
+                    c2v_scr[e] = v
+
+            # CN phase: min1/min2/sign + weighting + route back (in place)
             for i in range(self.M):
-                for e in self.cn_edges[i]:
-                    mag = self._ext_mag(i, e, m1, m2, amag)
-                    out_sgn = -(sgn_tot[i] * sgn[e])
-                    c2v_new[e] = self._weight_edge(
+                edges = self.cn_edges[i]
+                m1, m2, sgn_tot, amag, sgn = self._minsum_check(
+                    edges, lambda e: c2v_scr[e])
+                for e in edges:
+                    mag = self._ext_mag(m1, m2, amag[e])
+                    out_sgn = -(sgn_tot * sgn[e])
+                    y = self._weight_edge(
                         t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref,
                         u_mask[i] if ucn else None)
+                    c2v_scr[e] = self._unroll(y, self.edge_shift[e])
 
-            # the checkpoint must land before c2v_scr is overwritten
-            hist_dma.wait()
+            # APP phase (pre-clip, streamed out)
             for j in range(N):
                 app_j = None
                 for e in self.vn_edges[j]:
-                    c = self._unroll(c2v_new[e], self.edge_shift[e])
-                    c2v_scr[e] = c
+                    c = c2v_scr[e]
                     app_j = c if app_j is None else app_j + c
                 base = self._llr_tile_fn(j)
                 if qms:
@@ -342,29 +351,46 @@ class FusedTrainKernel(FusedNMSKernel):
             llr_pre, llr_w = self._llr_weighted(self._llr_tile_fn,
                                                 w_vn_ref, t)
             u_mask = self._ucn_masks(llr_w, c2v_read, t)
-            tot, v2c_pre, xc = self._vn_update(llr_w, c2v_read)
-            m1, m2, sgn_tot, amag, sgn = self._cn_minsum(xc)
 
-            # ---- APP cotangent -> per-edge cotangent (VN-aligned) ----
+            # ---- VN recompute phase (in place): c2v_scr[e] transitions
+            # from the iteration's ENTRY C->V state to the VN-aligned
+            # PRE-clip V->C message v2c_pre[e] (kept through the whole
+            # backward — both the CN phase's xc recompute and the final
+            # clip-mask phase read it).  Same read-before-overwrite
+            # discipline as the forward kernels.
+            for j in range(N):
+                edges_j = self.vn_edges[j]
+                s_j = None
+                for e in edges_j:
+                    c = c2v_scr[e]
+                    s_j = c if s_j is None else s_j + c
+                tot_j = llr_w[j] if s_j is None else llr_w[j] + s_j
+                vs = [tot_j - c2v_scr[e] for e in edges_j]
+                for e, v in zip(edges_j, vs):
+                    c2v_scr[e] = v
+
+            def xc_of(e):
+                """Check-aligned post-clip/nudge V->C message recomputed
+                from the in-place v2c_pre (exactly the forward's op order)."""
+                v = self._mag_clip(c2v_scr[e])
+                if cfg.decoding_type in (MS, QMS):
+                    v = jnp.where(v == 0.0, _EPS_MSG, v)
+                return self._roll(v, self.edge_shift[e])
+
+            # ---- APP cotangent folded into the carry (in place) ----
             # app_j = clip_tf_grad(base_j + sum_e y_e): gradient 1 on the
             # inclusive [-clip, clip] range (ops/ste.py clip_tf_grad).  The
             # pre-clip APP was streamed out by the forward kernel, so the
             # mask is a direct compare — no weighting recompute needed.
-            g_edge = {}
-            for j in range(N):
-                if j < self.target:
-                    app_pre = pre_scr[j]
-                    inside = jnp.logical_and(
-                        app_pre >= -cfg.clip_llr,
-                        app_pre <= cfg.clip_llr).astype(jnp.float32)
-                    g_app_j = gapp_scr[j] * inside
-                else:
-                    g_app_j = None
+            # gc_scr[e] then holds the full cotangent wrt y_e (VN-aligned).
+            for j in range(self.target):
+                app_pre = pre_scr[j]
+                inside = jnp.logical_and(
+                    app_pre >= -cfg.clip_llr,
+                    app_pre <= cfg.clip_llr).astype(jnp.float32)
+                g_app_j = gapp_scr[j] * inside
                 for e in self.vn_edges[j]:
-                    g = gc_scr[e]
-                    if g_app_j is not None:
-                        g = g + g_app_j
-                    g_edge[e] = g    # cotangent wrt y_e (VN-aligned)
+                    gc_scr[e] = gc_scr[e] + g_app_j
 
             # ---- weighting backward (per check), in CN alignment ----
             # Weight-gradient row writes are DEFERRED: scalar contributions
@@ -382,15 +408,16 @@ class FusedTrainKernel(FusedNMSKernel):
                     else rows[kind] + contrib
 
             per_edge_slots = cn_mode in (1, 4) or (ucn and ucn_mode in (1, 4))
-            g_xc = {}
             for i in range(self.M):
                 u_i = u_mask[i] if ucn else None
+                edges = self.cn_edges[i]
+                m1, m2, sgn_tot, amag, sgn = self._minsum_check(edges, xc_of)
                 g_mags = {}
                 gw_check = None  # deferred tile accumulator (per-check modes)
-                for e in self.cn_edges[i]:
-                    g_c2vnew = self._roll(g_edge[e], self.edge_shift[e])
-                    mag = self._ext_mag(i, e, m1, m2, amag)
-                    out_sgn = -(sgn_tot[i] * sgn[e])
+                for e in edges:
+                    g_c2vnew = self._roll(gc_scr[e], self.edge_shift[e])
+                    mag = self._ext_mag(m1, m2, amag[e])
+                    out_sgn = -(sgn_tot * sgn[e])
                     g_wmag = g_c2vnew * out_sgn
                     # weighting forward: relu_in = w*mag (scale) or mag - w
                     # (offset); wmag = quantize/clip(relu(relu_in))
@@ -449,13 +476,12 @@ class FusedTrainKernel(FusedNMSKernel):
                             jnp.sum(gw_check))
 
                 # ---- tie-splitting extrinsic-min backward ----
-                edges = self.cn_edges[i]
-                is_m1 = {e: (amag[e] == m1[i]).astype(jnp.float32)
+                is_m1 = {e: (amag[e] == m1).astype(jnp.float32)
                          for e in edges}
                 c1 = None
                 for e in edges:
                     c1 = is_m1[e] if c1 is None else c1 + is_m1[e]
-                is_m2 = {e: (amag[e] == m2[i]).astype(jnp.float32)
+                is_m2 = {e: (amag[e] == m2).astype(jnp.float32)
                          for e in edges}
                 c2 = None
                 for e in edges:
@@ -481,19 +507,29 @@ class FusedTrainKernel(FusedNMSKernel):
                     g_amag = is_m1[e] * tied + \
                         (1.0 - is_m1[e]) * is_m2[e] * m2_recv
                     # amag = |xc| (+PAD at exact zeros for MS_RAW):
-                    # d|x|/dx = sign(x), with sign(0) = 0
-                    g_xc[e] = g_amag * jnp.sign(xc[e])
+                    # d|x|/dx = sign(xc).  The nudge guarantees xc != 0
+                    # for MS/QMS, where sign(xc) == -sgn[e] exactly; for
+                    # MS_RAW a zero xc is flagged by amag == _PAD_MAG.
+                    s_xc = -sgn[e]
+                    if cfg.decoding_type == MS_RAW:
+                        s_xc = s_xc * (amag[e] < _PAD_MAG) \
+                            .astype(jnp.float32)
+                    # gc_scr[e] transitions: y_e cotangent (consumed above)
+                    # -> VN-aligned xc cotangent
+                    gc_scr[e] = self._unroll(g_amag * s_xc,
+                                             self.edge_shift[e])
 
-            # ---- route back + V->C clip/quantize mask + VN backward ----
+            # ---- V->C clip/quantize mask + VN backward (in place) ----
+            # gc_scr[e] holds the VN-aligned xc cotangent; c2v_scr[e] still
+            # holds the pre-clip v2c value for the STE/clip mask.
             for j in range(N):
                 g_tot = None
                 g_v2c = {}
                 for e in self.vn_edges[j]:
-                    g = self._unroll(g_xc[e], self.edge_shift[e])
                     # STE / clip_tf_grad mask on the pre-clip v2c value
-                    mask = (jnp.abs(v2c_pre[e]) <= msg_clip) \
+                    mask = (jnp.abs(c2v_scr[e]) <= msg_clip) \
                         .astype(jnp.float32)
-                    g = g * mask
+                    g = gc_scr[e] * mask
                     g_v2c[e] = g
                     g_tot = g if g_tot is None else g_tot + g
                 for e in self.vn_edges[j]:

@@ -51,10 +51,13 @@ def run_collection(cfg: ExperimentConfig, weight_file: Optional[str] = None,
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
     local = batch // mesh.shape["data"] if mesh is not None else batch
-    tb = auto_tb(code, local)
-    if local % tb != 0:
-        backend = "xla"  # kernel tiles must divide the per-device batch
     target = (code.N - code.M) if cfg.systematic else 0
+    # kernel tiles must divide the per-device batch; auto_tb sizes them
+    # from the modeled scoped-VMEM footprint (kernel_vmem_bytes)
+    tb = auto_tb(graph, local, mode="stats", ucn=spec.ucn_enabled,
+                 target=target, n_iters=cfg.iters_max)
+    if tb is None:
+        backend, tb = "xla", 128
     dcfg = DecoderConfig(decoding_type=cfg.decoding_type, q_bit=cfg.q_bit,
                          clip_llr=cfg.clip_llr, backend=backend,
                          pallas_tb=tb, pallas_early_stop=(backend == "pallas"),

@@ -152,20 +152,21 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         # when the per-device batch fills kernel tiles and the decode type
         # has a fused backward (everything but SP), train through the
         # custom-VJP kernel — gradients match the scan backend
-        # (tests/test_pallas_train.py), throughput is several x
+        # (tests/test_pallas_train.py), throughput is several x.  auto_tb
+        # sizes the tile from the modeled scoped-VMEM footprint of the
+        # train kernel pair (ops/pallas_decoder.kernel_vmem_bytes) — in
+        # round 4 the in-place kernels fit every bundled code incl. the
+        # z=64/z=72 5G ones.
+        from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
         dcfg_scan = dcfg
         local_bs = cfg.batch_size // (mesh.shape["data"] if mesh else 1)
-        zp8 = -(-code.z // 8) * 8
+        tb_train = auto_tb(graph, local_bs, mode="train",
+                           ucn=spec.ucn_enabled, target=target_node or 0,
+                           n_iters=end)
         if (jax.default_backend() == "tpu" and cfg.decoding_type != 0
-                and not cfg.scan_unroll and local_bs % 128 == 0
-                and graph.E * zp8 <= 3000):
-            # tb is 128, NOT 256: the backward kernel's scratch (2x
-            # [E, zp, tb] state + live per-edge intermediates) exceeds the
-            # 16 MiB scoped-VMEM limit at tb 256 (measured compile failure
-            # even for wman); 128 is the knee.  Codes with E*zp > ~3000
-            # stay on the scan backend for the same reason.
+                and not cfg.scan_unroll and tb_train is not None):
             dcfg = dataclasses_replace(dcfg, backend="pallas",
-                                       pallas_tb=128)
+                                       pallas_tb=tb_train)
         decoder = NMSDecoder(code, dcfg, spec, graph=graph)
         optimizer = make_optimizer(cfg.learn_rate_start)
         opt_state = optimizer.init(params)
@@ -176,17 +177,16 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         # own decoder: scan config by default, fused stats kernel when the
         # batch allows and no loss is needed
         eval_decoder = NMSDecoder(code, dcfg_scan, spec, graph=graph)
+        tb_eval = auto_tb(graph, eb, mode="stats", ucn=spec.ucn_enabled,
+                          target=target_node or 0, n_iters=end)
         if (not need_loss and jax.default_backend() == "tpu"
-                and eb % 128 == 0 and graph.E * zp8 <= 3000):
-            # stats-only eval rides the fused Pallas kernel.  Big E*zp
-            # codes stay on the scan decoder: the z=64 5G eval program
-            # exceeded the 16 MiB scoped-VMEM limit even at tb=128
-            # (measured compile failure), so the same guard as the fused
-            # train path applies.
-            from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
+                and tb_eval is not None):
+            # stats-only eval rides the fused Pallas kernel (tile sized by
+            # the same VMEM model; Evaluator.run still auto-falls-back to
+            # per-batch dispatch if the surrounding sweep fails to compile)
             eval_decoder = NMSDecoder(
                 code, dataclasses_replace(dcfg_scan, backend="pallas",
-                                          pallas_tb=auto_tb(graph, eb)),
+                                          pallas_tb=tb_eval),
                 spec, graph=graph)
         evaluator = Evaluator(eval_decoder, channel, cfg.loss_type, t_lo=t_lo,
                               batch=eb, compute_loss=need_loss, mesh=mesh)
