@@ -88,6 +88,34 @@ def main() -> int:
     harv.collect(params, 1.5, jax.random.PRNGKey(3), target_words=12,
                  max_frames=512, out_file=uncor_path)
 
+    # 4) deploy-mode (syndrome early termination) counters over the mesh
+    sim_d = FERSimulator(dec, ch, batch=64, mesh=mesh, inner_steps=2,
+                         stop="syndrome")
+    pt_d = sim_d.run_point(params, 2.0, jax.random.PRNGKey(17),
+                           max_frames=256, target_frame_errors=10 ** 9)
+    out["d_frames"] = int(pt_d.frames)
+    out["d_frame_errors"] = int(round(pt_d.fer_last * pt_d.frames))
+    out["d_undetected"] = int(round(pt_d.fer_undetected * pt_d.frames))
+    out["d_iters_sum"] = int(round(pt_d.avg_iters * pt_d.frames))
+
+    # 5) mid-run kill + resume of a sharded run_point: a run checkpointed
+    # and "killed" at 128 frames then resumed to 256 must pool to the same
+    # counters as the uninterrupted 256-frame run (per-process ckpt files —
+    # the RNG/counter state is replicated, so any host's copy restores all)
+    pt_u = sim.run_point(params, 2.5, jax.random.PRNGKey(23),
+                         max_frames=256, target_frame_errors=10 ** 9)
+    ck = os.path.join(outdir, f"resume_{nproc}_{pid}.json")
+    sim.run_point(params, 2.5, jax.random.PRNGKey(23), max_frames=128,
+                  target_frame_errors=10 ** 9, ckpt_path=ck)
+    pt_r = sim.run_point(params, 2.5, jax.random.PRNGKey(23), max_frames=256,
+                         target_frame_errors=10 ** 9, ckpt_path=ck)
+    for tag, pt_x in (("u", pt_u), ("r", pt_r)):
+        out[f"{tag}_frames"] = int(pt_x.frames)
+        out[f"{tag}_bit_errors"] = int(round(pt_x.ber_last * pt_x.frames *
+                                             code.N * code.z))
+        out[f"{tag}_frame_errors"] = int(round(pt_x.fer_last * pt_x.frames))
+        out[f"{tag}_genie_errors"] = int(round(pt_x.fer_genie * pt_x.frames))
+
     with open(os.path.join(outdir, f"res_{nproc}_{pid}.json"), "w") as f:
         json.dump(out, f)
     print(f"mp_worker nproc={nproc} pid={pid}: ok", flush=True)

@@ -74,6 +74,23 @@ def test_two_process_matches_single(tmp_path):
                                np.asarray(ref["cn_after"]),
                                rtol=1e-5, atol=1e-7)
 
+    # deploy-mode (syndrome early termination) counters: exact equality
+    # across process layouts
+    for k in ("d_frames", "d_frame_errors", "d_undetected", "d_iters_sum"):
+        assert res[0][k] == res[1][k] == ref[k], (k, res[0][k], ref[k])
+    assert ref["d_frame_errors"] > 0
+
+    # mid-run kill + resume of a sharded run_point: the checkpointed run
+    # (killed at 128 frames, resumed to 256) must pool to the counters of
+    # the uninterrupted 256-frame run, in BOTH process layouts, and both
+    # must match the single-process reference
+    for k in ("frames", "bit_errors", "frame_errors", "genie_errors"):
+        assert ref[f"r_{k}"] == ref[f"u_{k}"], (k, ref)
+        assert res[0][f"r_{k}"] == res[0][f"u_{k}"], (k, res[0])
+        assert res[0][f"u_{k}"] == ref[f"u_{k}"], (k, res[0], ref)
+        assert res[1][f"r_{k}"] == res[0][f"r_{k}"]
+    assert ref["u_genie_errors"] > 0
+
     # harvest: pooled per-host .part files hold exactly the single-process
     # rows (as a multiset — drain order differs across hosts)
     single = _read_rows(os.path.join(out, "uncor_1.txt"))
