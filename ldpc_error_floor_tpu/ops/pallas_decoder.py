@@ -153,7 +153,8 @@ class FusedNMSKernel:
 
     def __init__(self, graph: TannerGraph, cfg: DecoderConfig, spec: WeightSpec,
                  tb: int = 256, interpret: Optional[bool] = None,
-                 early_stop: bool = False, mode: str = "stats"):
+                 early_stop: bool = False, mode: str = "stats",
+                 unroll: Optional[int] = None, prescale: bool = True):
         if cfg.decoding_type not in (SP, MS, QMS, MS_RAW):
             raise ValueError(f"bad decoding_type {cfg.decoding_type}")
         if mode not in ("stats", "deploy"):
@@ -182,6 +183,33 @@ class FusedNMSKernel:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        # All QMS grids have power-of-two steps (ops/ste.py), so the decode
+        # kernel stores messages PRE-SCALED by 1/step: quantization becomes
+        # a bare round+clamp (no scale/unscale multiplies), bit-exactly —
+        # scaling a float by a power of two commutes exactly with IEEE
+        # rounding, and the APP block is scaled back by `step` once at its
+        # final write.  The train kernel (ops/pallas_train.py) keeps real
+        # LLR units (its VJP residuals/cotangents are in LLR units) and
+        # passes prescale=False.
+        self.prescaled = prescale and cfg.decoding_type == QMS
+        if self.prescaled:
+            step, clip = qms_grid(cfg.q_bit)
+            self.scale = 1.0 / step
+            assert self.scale == 2.0 ** round(np.log2(self.scale)), \
+                "QMS pre-scaling requires a power-of-two grid step"
+            self.qclip_s = clip * self.scale          # quantizer clip, scaled
+        else:
+            self.scale = 1.0
+            self.qclip_s = None
+        self.clip_s = cfg.clip_llr * self.scale       # APP/message clip, scaled
+        self.eps_s = _EPS_MSG * self.scale            # zero-nudge, scaled
+        # iteration-loop unroll factor (fori_loop pipeline overhead shows up
+        # in the roofline); unroll >= T switches to a fully static Python
+        # loop.  Default measured in round 4; override with
+        # LDPC_KERNEL_UNROLL.
+        if unroll is None:
+            unroll = int(os.environ.get("LDPC_KERNEL_UNROLL", "1"))
+        self.unroll = max(1, unroll)
         # static graph tables
         self.edge_cn = [int(v) for v in graph.edge_cn]
         self.edge_vn = [int(v) for v in graph.edge_vn]
@@ -206,8 +234,10 @@ class FusedNMSKernel:
             return tile
         # (measured round 3: pltpu.roll — the Mosaic hardware rotate — is
         # NOT faster than this two-slice concatenate on v5e, 2.36M vs
-        # 2.38M cw/s on the wman stats kernel; Mosaic already lowers the
-        # concat well, so the simpler form stays)
+        # 2.38M cw/s on the wman stats kernel; re-measured round 4 after
+        # the scaled-arithmetic rewrite via LDPC_KERNEL_ROLL=pltpu)
+        if os.environ.get("LDPC_KERNEL_ROLL") == "pltpu" and zp == z:
+            return pltpu.roll(tile, shift=z - s, axis=0)
         parts = [tile[s:z], tile[0:s]]
         if zp > z:
             parts.append(tile[z:zp])
@@ -218,13 +248,33 @@ class FusedNMSKernel:
         return self._roll(tile, (-s) % self.z if self.z else 0)
 
     def _quantize(self, x):
+        """STE quantizer forward in real LLR units (train-kernel path)."""
         step, clip = qms_grid(self.cfg.q_bit)
         return jnp.clip(jnp.round(x * (1.0 / step)) * step, -clip, clip)
 
+    def _quantize_s(self, x):
+        """STE quantizer forward in pre-scaled units: round to the integer
+        grid and clamp.  Bit-exact vs round(x/step)*step then clip — the
+        power-of-two pre-scale commutes with IEEE rounding."""
+        return jnp.clip(jnp.round(x), -self.qclip_s, self.qclip_s)
+
     def _mag_clip(self, x):
         if self.cfg.decoding_type == QMS:
-            return self._quantize(x)
+            return self._quantize_s(x) if self.prescaled else \
+                self._quantize(x)
         return jnp.clip(x, -self.cfg.clip_llr, self.cfg.clip_llr)
+
+    def _weighted_mag(self, wmag):
+        """ReLU + clip/quantize of a weighted CN magnitude (reference
+        308-313).  wmag's ReLU and the quantizer's lower clamp merge into
+        one clamp-to-[0, clip]: max(x,0) commutes with round."""
+        if self.cfg.decoding_type == QMS:
+            if self.prescaled:
+                return jnp.clip(jnp.round(wmag), 0.0, self.qclip_s)
+            step, clip = qms_grid(self.cfg.q_bit)
+            return jnp.clip(jnp.round(wmag * (1.0 / step)) * step,
+                            0.0, clip)
+        return jnp.clip(wmag, 0.0, self.cfg.clip_llr)
 
     # ----- the kernel -------------------------------------------------------------
 
@@ -254,6 +304,19 @@ class FusedNMSKernel:
         sp = cfg.decoding_type == SP
         qms = cfg.decoding_type == QMS
         nudge = cfg.decoding_type in (MS, QMS)
+        # messages live in pre-scaled units (see __init__); scale the LLR
+        # block once on entry instead of inside every quantize.  When there
+        # are no per-iteration VN weights the channel quantization is
+        # iteration-invariant too, so it is also applied here once.
+        pre_q = qms and vn_mode == 0
+        if self.scale != 1.0 or pre_q:
+            pre = llr_ref[...]
+            if self.scale != 1.0:
+                pre = pre * self.scale
+            if pre_q:
+                pre = self._quantize_s(pre)
+            llr_ref[...] = pre
+        inv_scale = 1.0 / self.scale  # = the grid step; exact power of two
 
         # valid-row mask (pad sublanes excluded from reductions)
         if zp > z:
@@ -301,9 +364,9 @@ class FusedNMSKernel:
                 # quantized regardless of vn_mode, matching the scan backend
                 # (models/nms.py step 1) and reference Main_Functions.py:176-177
                 # so raw (unquantized) LLR inputs decode identically on both
-                # backends
-                if qms:
-                    x = self._quantize(x)
+                # backends (already applied on entry when vn_mode == 0)
+                if qms and not pre_q:
+                    x = self._quantize_s(x)
                 llr_w.append(x)
 
             # (2) UCN detection from the previous APP — reference 180-209
@@ -336,7 +399,7 @@ class FusedNMSKernel:
                     v = tot - c2v_scr[e]
                     v = self._mag_clip(v)
                     if nudge:
-                        v = jnp.where(v == 0.0, _EPS_MSG, v)
+                        v = jnp.where(v == 0.0, self.eps_s, v)
                     vs.append(self._roll(v, self.edge_shift[e]))
                 for e, v in zip(edges_j, vs):
                     c2v_scr[e] = v
@@ -395,18 +458,22 @@ class FusedNMSKernel:
                             m2 = jnp.minimum(m2, jnp.maximum(m1, a))
                             m1 = jnp.minimum(m1, a)
                             sgn_tot = sgn_tot * s_
-                    for e in edges:
-                        mag = jnp.where(mags[e] == m1, m2, m1)
-                        mag = jnp.where(jnp.abs(mag) <= _EPS_MSG,
-                                        mag - _EPS_MSG, mag)
-                        out_sgn = -(sgn_tot * sgns[e])
-                        y = self._weight_edge(
-                            t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref,
-                            u_mask[i] if ucn else None)
+                    def store(e, y):
                         c2v_scr[e] = self._unroll(y, self.edge_shift[e])
 
-            # (8) APP + per-lane stats — reference 317-335
-            nerr_tot = None
+                    self._cn_weight_store(
+                        t, i, edges, m1, m2, -sgn_tot, mags, sgns,
+                        w_cn_ref, w_ucn_ref, u_mask[i] if ucn else None,
+                        store)
+
+            # (8) APP + per-lane stats — reference 317-335.  The APPs are
+            # returned UNCLIPPED in pre-scaled units (clipping cannot change
+            # a sign, so the error stats are exact); clip + scale-back
+            # happen once at whichever write actually leaves the kernel.
+            # The per-lane bit-error count accumulates one [zp, TB]
+            # indicator tile across VNs and does a single sublane reduction
+            # per iteration instead of one per VN.
+            wrong_acc = None
             apps = []
             for j in range(N):
                 app_j = None
@@ -414,26 +481,47 @@ class FusedNMSKernel:
                     c = c2v_scr[e]
                     app_j = c if app_j is None else app_j + c
                 base = llr_tile(j)
-                if qms:
-                    base = self._quantize(base)
+                if qms and not pre_q:
+                    base = self._quantize_s(base)
                 app_j = base if app_j is None else base + app_j
-                app_j = jnp.clip(app_j, -cfg.clip_llr, cfg.clip_llr)
                 apps.append(app_j)
                 if j < self.target:
                     wrong = (app_j >= 0.0).astype(jnp.float32)
-                    if valid is not None:
-                        wrong = wrong * valid
-                    ne = jnp.sum(wrong, axis=0, keepdims=True)  # [1, TB]
-                    nerr_tot = ne if nerr_tot is None else nerr_tot + ne
+                    wrong_acc = wrong if wrong_acc is None \
+                        else wrong_acc + wrong
+            if valid is not None:
+                wrong_acc = wrong_acc * valid
+            nerr_tot = jnp.sum(wrong_acc, axis=0, keepdims=True)  # [1, TB]
             wrong_any = (nerr_tot > 0.0).astype(jnp.float32)
             return apps, wrong_any, nerr_tot
 
-        def stats_step(t):
+        def write_app(j, app_j):
+            a = jnp.clip(app_j, -self.clip_s, self.clip_s)
+            if inv_scale != 1.0:
+                a = a * inv_scale
+            app_out[j * zp:(j + 1) * zp, :] = a
+
+        def stats_step(t, final=None):
+            """One iteration + stat writes.  `final`: None = write the APP
+            block every call (early-stop path — the last executed iteration
+            must leave its APPs behind); True/False = statically known
+            last-iteration flag (unrolled loop); a traced t compares
+            against T-1 at run time (fori path)."""
             apps, wrong_any, nerr_tot = iteration(t)
-            for j in range(N):
-                if ucn:
+            if ucn:
+                for j in range(N):
                     app_scr[j] = apps[j]
-                app_out[j * zp:(j + 1) * zp, :] = apps[j]
+            if final is None:
+                for j in range(N):
+                    write_app(j, apps[j])
+            elif final is True:
+                for j in range(N):
+                    write_app(j, apps[j])
+            elif final is not False:
+                @pl.when(final)
+                def _():
+                    for j in range(N):
+                        write_app(j, apps[j])
             err_out[pl.ds(t, 1), :] = wrong_any
             nerr_out[pl.ds(t, 1), :] = nerr_tot
             return wrong_any
@@ -474,7 +562,8 @@ class FusedNMSKernel:
                 apps, wrong_any, nerr_tot = iteration(t)
                 # freeze each lane's outputs at its own stop iteration
                 for j in range(N):
-                    app_scr[j] = jnp.where(run > 0.0, apps[j], app_scr[j])
+                    a = jnp.clip(apps[j], -self.clip_s, self.clip_s)
+                    app_scr[j] = jnp.where(run > 0.0, a, app_scr[j])
                 keep = 1.0 - run
                 stat_out[0:1, :] = run * wrong_any + keep * stat_out[0:1, :]
                 stat_out[1:2, :] = run * nerr_tot + keep * stat_out[1:2, :]
@@ -485,7 +574,10 @@ class FusedNMSKernel:
 
             jax.lax.while_loop(cond, dbody, (0, jnp.float32(TB)))
             for j in range(N):
-                app_out[j * zp:(j + 1) * zp, :] = app_scr[j]
+                a = app_scr[j]
+                if inv_scale != 1.0:
+                    a = a * inv_scale
+                app_out[j * zp:(j + 1) * zp, :] = a
         elif self.early_stop:
             def cond(carry):
                 t, still_wrong = carry
@@ -497,8 +589,70 @@ class FusedNMSKernel:
 
             jax.lax.while_loop(cond, wbody,
                                (0, jnp.ones((1, TB), jnp.float32)))
+        elif self.unroll >= T:
+            # fully static iteration loop: weight reads/stat stores become
+            # static offsets and Mosaic schedules across iterations
+            for t in range(T):
+                stats_step(t, final=(t == T - 1))
         else:
-            jax.lax.fori_loop(0, T, lambda t, c: (stats_step(t), c)[1], 0)
+            jax.lax.fori_loop(
+                0, T, lambda t, c: (stats_step(t, final=(t == T - 1)), c)[1],
+                0, unroll=self.unroll)
+
+    def _eps_fix(self, mg):
+        """Reference's sentinel un-mapping (`Main_Functions.py:250`);
+        mg >= 0 always (a min of absolute values or _PAD_MAG), so the
+        reference's |mg| test needs no abs."""
+        return jnp.where(mg <= self.eps_s, mg - self.eps_s, mg)
+
+    def _check_weight_eff(self, t, i, e0, w_cn_ref, w_ucn_ref, u_i):
+        """Effective CN weight for one check under per-check/scalar sharing
+        (cn_mode 0/2/3/5): a scalar, or a [zp, TB] tile when UCN blending
+        is on.  `e0` is any edge of the check (unused by these modes)."""
+        cn_mode = self.spec.sharing[0]
+        if cn_mode == 0:
+            return None
+        w = self._read_cn_w(w_cn_ref, t, i, e0, cn_mode)
+        if u_i is not None:
+            wu = self._read_cn_w(w_ucn_ref, t, i, e0, self.spec.sharing[1])
+            w = w * (1.0 - u_i) + wu * u_i
+        return w
+
+    def _cn_weight_store(self, t, i, edges, m1, m2, neg_tot, amag, sgn,
+                         w_cn_ref, w_ucn_ref, u_i, store):
+        """Neural weighting + sign re-attach for every edge of one check;
+        `store(e, y)` receives the weighted check-aligned output.
+
+        For per-check/scalar/absent weights (cn_mode 0/2/3/5) every edge of
+        the check shares one weight, so the whole eps-fix -> weight -> ReLU
+        -> clip/quantize chain runs ONCE per check on the two candidate
+        magnitudes (min1/min2) and each edge just selects its extrinsic and
+        re-attaches its sign — elementwise chains commute with the select,
+        so this is bit-exact vs the per-edge form (which remains for
+        per-edge sharing 1/4)."""
+        cn_mode = self.spec.sharing[0]
+        if cn_mode in (0, 2, 3, 5):
+            m1f, m2f = self._eps_fix(m1), self._eps_fix(m2)
+            w = self._check_weight_eff(t, i, edges[0], w_cn_ref, w_ucn_ref,
+                                       u_i)
+            if w is None:
+                m1w, m2w = m1f, m2f
+            elif self.cfg.neural_mode == "offset":
+                ws = w * self.scale if self.scale != 1.0 else w
+                m1w, m2w = m1f - ws, m2f - ws
+            else:
+                m1w, m2w = m1f * w, m2f * w
+            m1q = self._weighted_mag(m1w)
+            m2q = self._weighted_mag(m2w)
+            for e in edges:
+                wmag = jnp.where(amag[e] == m1, m2q, m1q)
+                store(e, wmag * (neg_tot * sgn[e]))
+        else:
+            for e in edges:
+                mag = self._eps_fix(jnp.where(amag[e] == m1, m2, m1))
+                y = self._weight_edge(t, i, e, mag, neg_tot * sgn[e],
+                                      w_cn_ref, w_ucn_ref, u_i)
+                store(e, y)
 
     def _weight_edge(self, t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref, u_i):
         """Apply CN/UCN weighting + ReLU + clip/quantize + sign re-attach
@@ -509,11 +663,15 @@ class FusedNMSKernel:
             if u_i is not None:
                 wu = self._read_cn_w(w_ucn_ref, t, i, e, self.spec.sharing[1])
                 w = w * (1.0 - u_i) + wu * u_i
-            wmag = mag - w if self.cfg.neural_mode == "offset" else mag * w
+            if self.cfg.neural_mode == "offset":
+                # offsets are in LLR units — scale them into the kernel's
+                # pre-scaled message units (scalar op, exact: power of two)
+                wmag = mag - (w * self.scale if self.scale != 1.0 else w)
+            else:
+                wmag = mag * w
         else:
             wmag = mag
-        wmag = jnp.maximum(wmag, 0.0)
-        wmag = self._mag_clip(wmag)
+        wmag = self._weighted_mag(wmag)
         return wmag * jnp.sign(out_sgn) if self.cfg.decoding_type == SP \
             else wmag * out_sgn
 

@@ -75,8 +75,10 @@ class FusedTrainKernel(FusedNMSKernel):
         if cfg.decoding_type == SP:
             raise NotImplementedError(
                 "SP training uses the scan backend (backend='xla')")
+        # prescale=False: the train kernels keep messages in real LLR units
+        # (their VJP residuals and cotangents are defined in LLR units)
         super().__init__(graph, cfg, spec, tb=tb, interpret=interpret,
-                         mode="stats")
+                         mode="stats", prescale=False)
         self.dims = {}
         cn_mode, ucn_mode, vn_mode = spec.sharing
         for kind, mode in (("cn", cn_mode), ("ucn", ucn_mode),
@@ -239,18 +241,20 @@ class FusedTrainKernel(FusedNMSKernel):
                 for e, v in zip(edges_j, vs):
                     c2v_scr[e] = v
 
-            # CN phase: min1/min2/sign + weighting + route back (in place)
+            # CN phase: min1/min2/sign + weighting + route back (in place);
+            # per-check weight modes run the weighting chain once per check
+            # on the min1/min2 candidates (_cn_weight_store)
             for i in range(self.M):
                 edges = self.cn_edges[i]
                 m1, m2, sgn_tot, amag, sgn = self._minsum_check(
                     edges, lambda e: c2v_scr[e])
-                for e in edges:
-                    mag = self._ext_mag(m1, m2, amag[e])
-                    out_sgn = -(sgn_tot * sgn[e])
-                    y = self._weight_edge(
-                        t, i, e, mag, out_sgn, w_cn_ref, w_ucn_ref,
-                        u_mask[i] if ucn else None)
+
+                def store(e, y):
                     c2v_scr[e] = self._unroll(y, self.edge_shift[e])
+
+                self._cn_weight_store(
+                    t, i, edges, m1, m2, -sgn_tot, amag, sgn,
+                    w_cn_ref, w_ucn_ref, u_mask[i] if ucn else None, store)
 
             # APP phase (pre-clip, streamed out)
             for j in range(N):
@@ -407,21 +411,65 @@ class FusedTrainKernel(FusedNMSKernel):
                 rows[kind] = contrib if kind not in rows \
                     else rows[kind] + contrib
 
-            per_edge_slots = cn_mode in (1, 4) or (ucn and ucn_mode in (1, 4))
+            # scalar-sharing CN/UCN weight grads defer their [zp, TB] ->
+            # scalar reductions to ONE sum per iteration (all checks land in
+            # slot 0); per-check sharing still reduces per check
+            cn_scalar = cn_mode == 3
+            gw_iter = gu_iter = None
             for i in range(self.M):
                 u_i = u_mask[i] if ucn else None
                 edges = self.cn_edges[i]
                 m1, m2, sgn_tot, amag, sgn = self._minsum_check(edges, xc_of)
+                neg_tot = -sgn_tot
                 g_mags = {}
                 gw_check = None  # deferred tile accumulator (per-check modes)
-                for e in edges:
-                    g_c2vnew = self._roll(gc_scr[e], self.edge_shift[e])
-                    mag = self._ext_mag(m1, m2, amag[e])
-                    out_sgn = -(sgn_tot * sgn[e])
-                    g_wmag = g_c2vnew * out_sgn
-                    # weighting forward: relu_in = w*mag (scale) or mag - w
-                    # (offset); wmag = quantize/clip(relu(relu_in))
+                if cn_mode in (0, 2, 3, 5):
+                    # Hoisted weighting backward: the eps-fix -> weight ->
+                    # ReLU -> STE-mask chain runs ONCE per check on the
+                    # min1/min2 candidates; each edge selects its branch
+                    # (bit-exact: elementwise chains commute with the
+                    # select, mirroring the forward's _cn_weight_store).
+                    m1f, m2f = self._eps_fix(m1), self._eps_fix(m2)
+                    w_eff = self._check_weight_eff(t, i, edges[0], w_cn_ref,
+                                                   w_ucn_ref, u_i)
+                    if w_eff is None:
+                        r1, r2 = m1f, m2f
+                    elif offset:
+                        r1, r2 = m1f - w_eff, m2f - w_eff
+                    else:
+                        r1, r2 = m1f * w_eff, m2f * w_eff
+                    # qr = relu'(r) * STE/clip mask on relu(r): relu_out
+                    # differs from r only when r <= 0, where relu' is 0 —
+                    # so the pair collapses to 0 < r <= msg_clip
+                    qr1 = jnp.logical_and(r1 > 0.0, r1 <= msg_clip) \
+                        .astype(jnp.float32)
+                    qr2 = jnp.logical_and(r2 > 0.0, r2 <= msg_clip) \
+                        .astype(jnp.float32)
+                    if w_eff is None or offset:
+                        gm1, gm2 = qr1, qr2            # d wmag / d mag
+                    else:
+                        gm1, gm2 = qr1 * w_eff, qr2 * w_eff
                     if cn_mode > 0:
+                        if offset:                     # d wmag / d w
+                            p1, p2 = -qr1, -qr2
+                        else:
+                            p1, p2 = qr1 * m1f, qr2 * m2f
+                    for e in edges:
+                        g_c2vnew = self._roll(gc_scr[e], self.edge_shift[e])
+                        g_wmag = g_c2vnew * (neg_tot * sgn[e])
+                        sel = amag[e] == m1
+                        g_mags[e] = g_wmag * jnp.where(sel, gm2, gm1)
+                        if cn_mode > 0:
+                            g_w_tile = g_wmag * jnp.where(sel, p2, p1)
+                            gw_check = g_w_tile if gw_check is None \
+                                else gw_check + g_w_tile
+                else:
+                    # per-edge weights (cn_mode/ucn_mode 1/4): the chain is
+                    # edge-specific, and each edge owns its weight slot
+                    for e in edges:
+                        g_c2vnew = self._roll(gc_scr[e], self.edge_shift[e])
+                        mag = self._ext_mag(m1, m2, amag[e])
+                        g_wmag = g_c2vnew * (neg_tot * sgn[e])
                         w = self._read_cn_w(w_cn_ref, t, i, e, cn_mode)
                         if ucn:
                             wu = self._read_cn_w(w_ucn_ref, t, i, e,
@@ -430,43 +478,35 @@ class FusedTrainKernel(FusedNMSKernel):
                         else:
                             w_eff = w
                         relu_in = mag - w_eff if offset else mag * w_eff
-                    else:
-                        w_eff = None
-                        relu_in = mag
-                    relu_out = jnp.maximum(relu_in, 0.0)
-                    # STE/clip gradient: inclusive |x| <= clip on the
-                    # PRE-quantize value (relu_out >= 0 so just <=)
-                    q_mask = (relu_out <= msg_clip).astype(jnp.float32)
-                    relu_mask = (relu_in > 0.0).astype(jnp.float32)
-                    g_in = g_wmag * q_mask * relu_mask
-                    if cn_mode > 0:
+                        qr = jnp.logical_and(
+                            relu_in > 0.0, relu_in <= msg_clip) \
+                            .astype(jnp.float32)
+                        g_in = g_wmag * qr
                         if offset:
                             g_mag = g_in
                             g_w_tile = -g_in
                         else:
                             g_mag = g_in * w_eff
                             g_w_tile = g_in * mag
-                        if per_edge_slots:
-                            if ucn:
-                                s_u = jnp.sum(g_w_tile * u_i)
-                                s_c = jnp.sum(g_w_tile) - s_u
-                            else:
-                                s_u, s_c = None, jnp.sum(g_w_tile)
-                            acc("cn", self.cn_order[e] if cn_mode in (1, 4)
-                                else (i if cn_mode in (2, 5) else 0), s_c)
-                            if ucn:
-                                acc("ucn",
-                                    self.cn_order[e] if ucn_mode in (1, 4)
-                                    else (i if ucn_mode in (2, 5) else 0),
-                                    s_u)
+                        if ucn:
+                            s_u = jnp.sum(g_w_tile * u_i)
+                            s_c = jnp.sum(g_w_tile) - s_u
                         else:
-                            gw_check = g_w_tile if gw_check is None \
-                                else gw_check + g_w_tile
-                    else:
-                        g_mag = g_in
-                    g_mags[e] = g_mag
+                            s_u, s_c = None, jnp.sum(g_w_tile)
+                        acc("cn", self.cn_order[e], s_c)
+                        if ucn:
+                            acc("ucn", self.cn_order[e], s_u)
+                        g_mags[e] = g_mag
                 if gw_check is not None:
-                    if ucn:
+                    if cn_scalar and not ucn:
+                        gw_iter = gw_check if gw_iter is None \
+                            else gw_iter + gw_check
+                    elif cn_scalar:   # ucn_mode == 3 too (check_params)
+                        gw_iter = gw_check if gw_iter is None \
+                            else gw_iter + gw_check
+                        gu = gw_check * u_i
+                        gu_iter = gu if gu_iter is None else gu_iter + gu
+                    elif ucn:
                         s_u = jnp.sum(gw_check * u_i)
                         s_c = jnp.sum(gw_check) - s_u
                         acc("cn", i if cn_mode in (2, 5) else 0, s_c)
@@ -476,21 +516,19 @@ class FusedTrainKernel(FusedNMSKernel):
                             jnp.sum(gw_check))
 
                 # ---- tie-splitting extrinsic-min backward ----
-                is_m1 = {e: (amag[e] == m1).astype(jnp.float32)
-                         for e in edges}
-                c1 = None
+                is_m1 = {e: amag[e] == m1 for e in edges}   # bool
+                is_m2 = {e: amag[e] == m2 for e in edges}
+                c1 = c2 = None
                 for e in edges:
-                    c1 = is_m1[e] if c1 is None else c1 + is_m1[e]
-                is_m2 = {e: (amag[e] == m2).astype(jnp.float32)
-                         for e in edges}
-                c2 = None
-                for e in edges:
-                    c2 = is_m2[e] if c2 is None else c2 + is_m2[e]
+                    f1 = is_m1[e].astype(jnp.float32)
+                    f2 = is_m2[e].astype(jnp.float32)
+                    c1 = f1 if c1 is None else c1 + f1
+                    c2 = f2 if c2 is None else c2 + f2
                 c2 = jnp.maximum(c2, 1.0)
                 g_above = g_min = None
                 for e in edges:
-                    ga = g_mags[e] * (1.0 - is_m1[e])
-                    gm = g_mags[e] * is_m1[e]
+                    gm = jnp.where(is_m1[e], g_mags[e], 0.0)
+                    ga = g_mags[e] - gm
                     g_above = ga if g_above is None else g_above + ga
                     g_min = gm if g_min is None else g_min + gm
                 multi = (c1 > 1.0).astype(jnp.float32)
@@ -502,10 +540,13 @@ class FusedTrainKernel(FusedNMSKernel):
                 base_tied = r_c1 + multi * g_min * r_den + \
                     (1.0 - multi) * g_above
                 m2_recv = (1.0 - multi) * (g_min / c2)
+                mr = multi * r_den
+                zero = jnp.zeros_like(m2_recv)
                 for e in edges:
-                    tied = base_tied - multi * g_mags[e] * r_den
-                    g_amag = is_m1[e] * tied + \
-                        (1.0 - is_m1[e]) * is_m2[e] * m2_recv
+                    tied = base_tied - g_mags[e] * mr
+                    g_amag = jnp.where(
+                        is_m1[e], tied,
+                        jnp.where(is_m2[e], m2_recv, zero))
                     # amag = |xc| (+PAD at exact zeros for MS_RAW):
                     # d|x|/dx = sign(xc).  The nudge guarantees xc != 0
                     # for MS/QMS, where sign(xc) == -sgn[e] exactly; for
@@ -518,18 +559,28 @@ class FusedTrainKernel(FusedNMSKernel):
                     # -> VN-aligned xc cotangent
                     gc_scr[e] = self._unroll(g_amag * s_xc,
                                              self.edge_shift[e])
+            if gw_iter is not None:
+                if gu_iter is not None:
+                    s_u = jnp.sum(gu_iter)
+                    acc("cn", 0, jnp.sum(gw_iter) - s_u)
+                    acc("ucn", 0, s_u)
+                else:
+                    acc("cn", 0, jnp.sum(gw_iter))
 
             # ---- V->C clip/quantize mask + VN backward (in place) ----
             # gc_scr[e] holds the VN-aligned xc cotangent; c2v_scr[e] still
-            # holds the pre-clip v2c value for the STE/clip mask.
+            # holds the pre-clip v2c value for the STE/clip mask.  The
+            # scalar-sharing VN weight grad (vn_mode 3) defers its
+            # [zp, TB] -> scalar reduction to one sum per iteration.
+            gv_iter = None
             for j in range(N):
                 g_tot = None
                 g_v2c = {}
                 for e in self.vn_edges[j]:
                     # STE / clip_tf_grad mask on the pre-clip v2c value
-                    mask = (jnp.abs(c2v_scr[e]) <= msg_clip) \
-                        .astype(jnp.float32)
-                    g = gc_scr[e] * mask
+                    # (select form: one fewer op than mask-multiply)
+                    g = jnp.where(jnp.abs(c2v_scr[e]) <= msg_clip,
+                                  gc_scr[e], 0.0)
                     g_v2c[e] = g
                     g_tot = g if g_tot is None else g_tot + g
                 for e in self.vn_edges[j]:
@@ -538,10 +589,15 @@ class FusedTrainKernel(FusedNMSKernel):
                 if vn_mode > 0:
                     g_llr_w = g_tot
                     if qms:
-                        g_llr_w = g_llr_w * (
-                            jnp.abs(llr_pre[j]) <= clip_q).astype(jnp.float32)
-                    acc("vn", j if vn_mode in (2, 5) else 0,
-                        jnp.sum(g_llr_w * self._llr_tile_fn(j)))
+                        g_llr_w = jnp.where(
+                            jnp.abs(llr_pre[j]) <= clip_q, g_llr_w, 0.0)
+                    gv = g_llr_w * self._llr_tile_fn(j)
+                    if vn_mode == 3:
+                        gv_iter = gv if gv_iter is None else gv_iter + gv
+                    else:
+                        acc("vn", j, jnp.sum(gv))
+            if gv_iter is not None:
+                acc("vn", 0, jnp.sum(gv_iter))
 
             # flush this iteration's weight-grad rows (one RMW per kind)
             for kind, row in rows.items():
