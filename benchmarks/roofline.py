@@ -16,8 +16,13 @@ VPU peak model (jax-ml.github.io/scaling-book, "TPU Scaling" chapter):
 each TensorCore has a VPU of shape (8, 128) with 4 independent ALUs;
 v5e clock ~1.74 GHz -> peak = 8*128*4*1.74e9 = 7.1e12 f32 lane-ops/s.
 
-Usage:  python benchmarks/roofline.py [--batch 262144] [--tb 256]
-Writes benchmarks/runs/round3/ROOFLINE.json and prints a summary.
+Round 4 adds a --train section: the fused training step (fwd+bwd Pallas
+kernels + optimizer fusions) is traced the same way and the artifact
+reports the device-time split between the forward and backward kernels
+(round-3 VERDICT item #4).
+
+Usage:  python benchmarks/roofline.py [--batch 262144] [--tb 256] [--train]
+Writes benchmarks/runs/round4/ROOFLINE.json and prints a summary.
 """
 
 from __future__ import annotations
@@ -35,15 +40,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VPU_PEAK_OPS = 8 * 128 * 4 * 1.74e9  # lane-ops/s, v5e (see module docstring)
 
 # Analytic per-(edge, z-lane, codeword) vector-op count for one decoding
-# iteration of the stats kernel (ops/pallas_decoder.py, QMS q=5 mode,
-# sharing (3,0,3)): counted from the kernel body —
-#   VN update: gather-add of Dv-1 C->V tiles + sub + clip/quantize(3) +
-#     zero-nudge(2) + roll(concat, ~1)            ~ 8
-#   CN min1/min2/sign running reduction: abs(1) + sign-sel(1) +
-#     min/max(3) + sign-mul(1)                    ~ 6
-#   extrinsic select + eps adjust: cmp+sel(2) + cmp+sel(2)  ~ 4
-#   weighting + ReLU + quantize + sign: mul(1) + max(1) + q(3) + mul(1) ~ 6
-#   APP accumulate + clip + err/stat flags        ~ 6
+# iteration of the stats kernel: HELD AT THE ROUND-3 COUNT (30) so the
+# vpu_fraction stays comparable across rounds as a *useful-work* issue
+# rate.  The round-3 kernel actually emitted ~30 ops/edge (counted from
+# its body); the round-4 rewrite (pre-scaled QMS arithmetic, per-check
+# weighting chain, single stats reduction — ops/pallas_decoder.py) does
+# the same useful work in fewer instructions, which is exactly what the
+# rising vpu_fraction measures.
+#   round-3 mix: VN update ~8, CN min1/min2/sign ~6, extrinsic select +
+#   eps ~4, weighting/ReLU/quantize/sign ~6, APP + stats ~6  => 30
 OPS_PER_EDGE = 30
 
 
@@ -53,7 +58,11 @@ def main() -> int:
     p.add_argument("--tb", type=int, default=256)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--steps", type=int, default=5)
-    p.add_argument("--out", default="benchmarks/runs/round3/ROOFLINE.json")
+    p.add_argument("--train", action="store_true",
+                   help="also trace the fused train step (fwd/bwd split)")
+    p.add_argument("--train-batch", type=int, default=32768)
+    p.add_argument("--train-tb", type=int, default=128)
+    p.add_argument("--out", default="benchmarks/runs/round4/ROOFLINE.json")
     args = p.parse_args()
 
     import jax
@@ -143,6 +152,66 @@ def main() -> int:
                                 for us, name in spans[:8]],
         "trace_dir": trace_dir,
     }
+    if args.train:
+        from ldpc_error_floor_tpu.training.train import (make_train_step,
+                                                         make_optimizer)
+        tb_t = args.train_tb
+        bt = args.train_batch
+        dec_t = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5,
+                                               backend="pallas",
+                                               pallas_tb=tb_t),
+                           spec, graph=graph)
+        opt = make_optimizer(1e-3)
+        params_t = init_weights(spec, graph)
+        opt_state = opt.init(params_t)
+        labels = jnp.zeros((code.n_full, bt), jnp.float32)
+        tstep = make_train_step(dec_t, spec, loss_type=2, train_start=0,
+                                train_end=T, fixed_init=0, optimizer=opt)
+
+        @jax.jit
+        def train_step(p, o, k):
+            llr = channel.sample(k, jnp.full((bt,), sigma, jnp.float32))
+            return tstep(p, o, llr, labels, jnp.float32(0.0))
+
+        out_t = train_step(params_t, opt_state, key)
+        jax.block_until_ready(out_t)
+        tdir = os.path.join(os.path.dirname(args.out) or ".", "xprof_train")
+        os.makedirs(tdir, exist_ok=True)
+        with jax.profiler.trace(tdir):
+            for i in range(args.steps):
+                out_t = train_step(params_t, opt_state,
+                                   jax.random.fold_in(key, 100 + i))
+            jax.block_until_ready(out_t)
+        paths = sorted(glob.glob(os.path.join(tdir, "**",
+                                              "*.trace.json.gz"),
+                                 recursive=True), key=os.path.getmtime)
+        d = json.loads(gzip.open(paths[-1]).read())
+        pids = {e["pid"]: e["args"]["name"] for e in d["traceEvents"]
+                if e.get("ph") == "M" and e.get("name") == "process_name"}
+        devt = {}
+        for e in d["traceEvents"]:
+            if e.get("ph") == "X" and "TPU" in str(pids.get(e["pid"], "")):
+                devt.setdefault(e["name"], [0.0, 0])
+                devt[e["name"]][0] += e["dur"]
+                devt[e["name"]][1] += 1
+        spans_t = sorted(((v[0] / args.steps, k) for k, v in devt.items()),
+                         reverse=True)
+        topt = spans_t[0][0]
+        # the two custom-call spans inside the step are the fwd and bwd
+        # pallas kernels; bwd > fwd always
+        kernels = [(us, n) for us, n in spans_t
+                   if "custom-call" in n or "pallas" in n.lower()]
+        result["train"] = {
+            "batch": bt, "tb": tb_t,
+            "device_us_per_step": topt,
+            "trained_cw_per_sec_device": bt / (topt * 1e-6),
+            "top_device_spans_us": [[round(us, 1), n[:80]]
+                                    for us, n in spans_t[:10]],
+            "kernel_spans_us": [[round(us, 1), n[:80]]
+                                for us, n in kernels[:6]],
+            "trace_dir": tdir,
+        }
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

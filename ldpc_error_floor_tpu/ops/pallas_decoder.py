@@ -68,7 +68,7 @@ def _as_graph(code_or_graph) -> TannerGraph:
 
 def kernel_vmem_bytes(code_or_graph, tb: int, n_iters: int = 20,
                       mode: str = "stats", ucn: bool = False,
-                      target: int = 0) -> int:
+                      target: int = 0, overlap: bool = False) -> int:
     """Model of a fused kernel's peak VMEM footprint (bytes).
 
     Replaces round 3's hand-tuned ``E*zp <= 3000`` eligibility constant
@@ -108,16 +108,25 @@ def kernel_vmem_bytes(code_or_graph, tb: int, n_iters: int = 20,
         io += 2 * 2 * Tp * tb * 4 if mode == "stats" else 2 * 8 * tb * 4
         live = (N + 3 * Dc + 6) * tile + ucn_extra
     elif mode == "train_fwd":
-        scratch = (E + tgt) * tile                # c2v state + APP stream
+        # `overlap`: ping-pong edge-state buffers + double APP stage, so
+        # the per-iteration checkpoint/APP DMAs overlap the full compute
+        scratch = ((2 * E + 2 * tgt) if overlap else (E + tgt)) * tile
         io = 2 * N * tile                         # llr in (hist/apps are HBM)
         live = (N + 3 * Dc + 6) * tile + ucn_extra
     elif mode in ("train_bwd", "train"):
         # two edge buffers (state + cotangent carry), pre-clip APP +
         # cotangent tiles, and a wider per-check working set (amag/sgn/
-        # g_mags/is_m1/is_m2 + the rolled cotangent)
-        scratch = (2 * E + 2 * tgt) * tile
+        # g_mags/is_m1/is_m2 + the rolled cotangent).  `overlap`: the
+        # hist/pre/gapp input landing buffers double so the next
+        # iteration's DMAs prefetch during compute
+        scratch = ((3 * E + 4 * tgt) if overlap
+                   else (2 * E + 2 * tgt)) * tile
         io = 2 * N * tile + 3 * 2 * Tp * 512 * 4  # llr in + grad rows
-        live = (2 * N + 6 * Dc + 8) * tile + ucn_extra
+        # 14*Dc: the backward keeps g_mags/is_m1/is_m2/amag/sgn plus the
+        # hoisted qr/gm/p candidate tiles live per check, and Mosaic's
+        # VMEM stack spill was measured ~5 MB above the round-3 6*Dc term
+        # (wman tb256 bwd_db compiles at 18.87M actual vs 13.8M modeled)
+        live = (2 * N + 14 * Dc + 8) * tile + ucn_extra
     else:
         raise ValueError(f"bad mode {mode!r}")
     return scratch + io + live + 512 * 1024       # fixed Mosaic overhead
@@ -131,8 +140,24 @@ def auto_tb(code_or_graph, local_batch: int, mode: str = "stats",
 
     ``mode``: 'stats' / 'deploy' / 'train' (= the train pair, bounded by
     its backward kernel).  Returns ``None`` when no tile fits — callers
-    fall back to the scan backend."""
+    fall back to the scan backend.
+
+    For the train pair, a tile whose DMA-overlap (double-buffered)
+    variant fits is preferred over a larger tile that only fits the
+    single-buffer layout — measured on v5e (round 4): wman tb128 with
+    full overlap trains at 858k cw/s vs 653k for tb256 without the
+    backward overlap."""
     limit = SCOPED_VMEM_BYTES if limit is None else limit
+    if mode in ("train", "train_bwd"):
+        for overlap in (True, False):
+            for tb in (256, 128):
+                if local_batch % tb != 0:
+                    continue
+                if kernel_vmem_bytes(code_or_graph, tb, n_iters=n_iters,
+                                     mode=mode, ucn=ucn, target=target,
+                                     overlap=overlap) <= limit:
+                    return tb
+        return None
     for tb in (256, 128):
         if local_batch % tb != 0:
             continue

@@ -79,6 +79,24 @@ class FusedTrainKernel(FusedNMSKernel):
         # (their VJP residuals and cotangents are defined in LLR units)
         super().__init__(graph, cfg, spec, tb=tb, interpret=interpret,
                          mode="stats", prescale=False)
+        # DMA-overlap variants (round 4): the per-iteration HBM streams
+        # (forward's state checkpoint + APP stack, backward's hist/pre/gapp
+        # reads) are ~1 MB per iteration per grid step — comparable to the
+        # iteration's compute time — so each kernel double-buffers them
+        # whenever the extra VMEM fits the scoped budget, hiding the DMA
+        # behind compute.  Big codes fall back to the single-buffer
+        # in-place layout (which is what lets them fit at all).
+        from ldpc_error_floor_tpu.ops.pallas_decoder import (
+            SCOPED_VMEM_BYTES, kernel_vmem_bytes)
+        tgt = cfg.target_node if cfg.target_node > 0 else 0
+        self.fwd_pp = kernel_vmem_bytes(
+            graph, tb, n_iters=spec.n_iters, mode="train_fwd",
+            ucn=spec.ucn_enabled, target=tgt,
+            overlap=True) <= SCOPED_VMEM_BYTES
+        self.bwd_db = kernel_vmem_bytes(
+            graph, tb, n_iters=spec.n_iters, mode="train_bwd",
+            ucn=spec.ucn_enabled, target=tgt,
+            overlap=True) <= SCOPED_VMEM_BYTES
         self.dims = {}
         cn_mode, ucn_mode, vn_mode = spec.sharing
         for kind, mode in (("cn", cn_mode), ("ucn", ucn_mode),
@@ -200,8 +218,8 @@ class FusedTrainKernel(FusedNMSKernel):
         w_vn_ref = next(it) if vn_mode > 0 else None
         apps_ref = next(it)   # ANY: [T, target, zp, B]
         hist_ref = next(it)   # ANY: [T, E, zp, B]
-        c2v_scr = next(it)    # VMEM [E, zp, TB]
-        app_scr = next(it)    # VMEM [target, zp, TB]
+        c2v_scr = next(it)    # VMEM [E, zp, TB] ([2, E, ...] when fwd_pp)
+        app_scr = next(it)    # VMEM [target, zp, TB] ([2, ...] when fwd_pp)
         hist_sem = next(it)
         app_sem = next(it)
 
@@ -209,58 +227,93 @@ class FusedTrainKernel(FusedNMSKernel):
         col = pl.multiple_of(b * TB, TB)
         self._llr_tile_fn = lambda j: llr_ref[j * zp:(j + 1) * zp, :]
 
-        c2v_scr[...] = jnp.zeros((E, zp, TB), jnp.float32)
+        pp = self.fwd_pp  # ping-pong buffers: DMA overlaps the iteration
+
+        if pp:
+            c2v_scr[0] = jnp.zeros((E, zp, TB), jnp.float32)
+        else:
+            c2v_scr[...] = jnp.zeros((E, zp, TB), jnp.float32)
+
+        def hist_dma(buf, t, sem):
+            return pltpu.make_async_copy(
+                buf, hist_ref.at[t, :, :, pl.ds(col, TB)], sem)
+
+        def app_dma(buf, t, sem):
+            return pltpu.make_async_copy(
+                buf, apps_ref.at[t, :, :, pl.ds(col, TB)], sem)
 
         def body(t, _):
-            # checkpoint the state ENTERING iteration t (zeros at t=0)
-            hist_dma = pltpu.make_async_copy(
-                c2v_scr, hist_ref.at[t, :, :, pl.ds(col, TB)], hist_sem)
-            hist_dma.start()
+            if pp:
+                # entry state lives in `cur`, untouched all iteration, so
+                # its checkpoint DMA overlaps the FULL compute; the VN
+                # phase writes into `nxt` (= cur of t+1)
+                slot = t % 2
+                cur = c2v_scr.at[slot]
+                nxt = c2v_scr.at[1 - slot]
+                app_buf = app_scr.at[slot]
+                hist_dma(cur, t, hist_sem.at[slot]).start()
+            else:
+                cur = nxt = c2v_scr
+                app_buf = app_scr
+                hist_dma(cur, t, hist_sem).start()
 
-            c2v_read = lambda e: c2v_scr[e]
+            c2v_read = lambda e: cur[e]
             _, llr_w = self._llr_weighted(self._llr_tile_fn, w_vn_ref, t)
             u_mask = self._ucn_masks(llr_w, c2v_read, t)
 
-            # the checkpoint must land before the VN phase overwrites state
-            hist_dma.wait()
+            if pp:
+                # before writing nxt: the checkpoint of t-1 (same buffer)
+                # must have landed
+                @pl.when(t > 0)
+                def _():
+                    hist_dma(nxt, t - 1, hist_sem.at[1 - slot]).wait()
+            else:
+                # the checkpoint must land before the in-place VN phase
+                # overwrites the state
+                hist_dma(cur, t, hist_sem).wait()
 
-            # VN phase: c2v_scr[e] -> check-aligned V->C message (in place)
+            # VN phase: entry C->V (cur) -> check-aligned V->C (nxt)
             for j in range(N):
                 edges_j = self.vn_edges[j]
                 s_j = None
                 for e in edges_j:
-                    c = c2v_scr[e]
+                    c = cur[e]
                     s_j = c if s_j is None else s_j + c
                 tot = llr_w[j] if s_j is None else llr_w[j] + s_j
                 vs = []
                 for e in edges_j:
-                    v = self._mag_clip(tot - c2v_scr[e])
+                    v = self._mag_clip(tot - cur[e])
                     if nudge:
                         v = jnp.where(v == 0.0, _EPS_MSG, v)
                     vs.append(self._roll(v, self.edge_shift[e]))
                 for e, v in zip(edges_j, vs):
-                    c2v_scr[e] = v
+                    nxt[e] = v
 
-            # CN phase: min1/min2/sign + weighting + route back (in place);
-            # per-check weight modes run the weighting chain once per check
-            # on the min1/min2 candidates (_cn_weight_store)
+            # CN phase: min1/min2/sign + weighting + route back (in place
+            # within nxt); per-check weight modes run the weighting chain
+            # once per check on the min1/min2 candidates (_cn_weight_store)
             for i in range(self.M):
                 edges = self.cn_edges[i]
                 m1, m2, sgn_tot, amag, sgn = self._minsum_check(
-                    edges, lambda e: c2v_scr[e])
+                    edges, lambda e: nxt[e])
 
                 def store(e, y):
-                    c2v_scr[e] = self._unroll(y, self.edge_shift[e])
+                    nxt[e] = self._unroll(y, self.edge_shift[e])
 
                 self._cn_weight_store(
                     t, i, edges, m1, m2, -sgn_tot, amag, sgn,
                     w_cn_ref, w_ucn_ref, u_mask[i] if ucn else None, store)
 
             # APP phase (pre-clip, streamed out)
+            if pp:
+                # this slot's APP buffer was last DMA'd at t-2
+                @pl.when(t > 1)
+                def _():
+                    app_dma(app_buf, t - 2, app_sem.at[slot]).wait()
             for j in range(N):
                 app_j = None
                 for e in self.vn_edges[j]:
-                    c = c2v_scr[e]
+                    c = nxt[e]
                     app_j = c if app_j is None else app_j + c
                 base = self._llr_tile_fn(j)
                 if qms:
@@ -272,14 +325,25 @@ class FusedTrainKernel(FusedNMSKernel):
                 # the backward kernel the whole weighting recompute it
                 # otherwise needs just to rebuild this value
                 if j < self.target:
-                    app_scr[j] = app_j
-            app_dma = pltpu.make_async_copy(
-                app_scr, apps_ref.at[t, :, :, pl.ds(col, TB)], app_sem)
-            app_dma.start()
-            app_dma.wait()
+                    app_buf[j] = app_j
+            if pp:
+                app_dma(app_buf, t, app_sem.at[slot]).start()
+            else:
+                dma = app_dma(app_buf, t, app_sem)
+                dma.start()
+                dma.wait()
             return 0
 
         jax.lax.fori_loop(0, T, body, 0)
+        if pp:
+            # drain the checkpoints/APPs still in flight
+            hist_dma(c2v_scr.at[(T - 1) % 2], T - 1,
+                     hist_sem.at[(T - 1) % 2]).wait()
+            if T > 1:
+                app_dma(app_scr.at[(T - 2) % 2], T - 2,
+                        app_sem.at[(T - 2) % 2]).wait()
+            app_dma(app_scr.at[(T - 1) % 2], T - 1,
+                    app_sem.at[(T - 1) % 2]).wait()
 
     # ----- backward kernel ------------------------------------------------------
 
@@ -305,10 +369,15 @@ class FusedTrainKernel(FusedNMSKernel):
         for kind in ("cn", "ucn", "vn"):
             if self.dims[kind]:
                 g_outs[kind] = next(it)   # VMEM [Tp, dimp]
-        c2v_scr = next(it)    # VMEM [E, zp, TB]: entry state of iteration t
+        # with bwd_db the three landing buffers are double-buffered
+        # ([2, ...]) so the next iteration's input DMAs prefetch during
+        # compute; each slot's content is consumed (and clobbered in
+        # place) during its own iteration
+        db = self.bwd_db
+        c2v_bufs = next(it)   # VMEM [(2,)? E, zp, TB]: entry state of iter t
         gc_scr = next(it)     # VMEM [E, zp, TB]: carry cotangent (VN-aligned)
-        pre_scr = next(it)    # VMEM [target, zp, TB]
-        gapp_scr = next(it)   # VMEM [target, zp, TB]
+        pre_bufs = next(it)   # VMEM [(2,)? target, zp, TB]
+        gapp_bufs = next(it)  # VMEM [(2,)? target, zp, TB]
         in_sem = next(it)
         pre_sem = next(it)
         gin_sem = next(it)
@@ -316,6 +385,30 @@ class FusedTrainKernel(FusedNMSKernel):
         b = pl.program_id(0)
         col = pl.multiple_of(b * TB, TB)
         self._llr_tile_fn = lambda j: llr_ref[j * zp:(j + 1) * zp, :]
+
+        def in_dmas(slot, t):
+            """The three input copies for iteration t into buffer `slot`
+            (slot=None: single-buffer layout)."""
+            if slot is None:
+                bufs = (c2v_bufs, pre_bufs, gapp_bufs)
+                sems = (in_sem, pre_sem, gin_sem)
+            else:
+                bufs = (c2v_bufs.at[slot], pre_bufs.at[slot],
+                        gapp_bufs.at[slot])
+                sems = (in_sem.at[slot], pre_sem.at[slot],
+                        gin_sem.at[slot])
+            return (
+                pltpu.make_async_copy(
+                    hist_ref.at[t, :, :, pl.ds(col, TB)], bufs[0], sems[0]),
+                pltpu.make_async_copy(
+                    pre_ref.at[t, :, :, pl.ds(col, TB)], bufs[1], sems[1]),
+                pltpu.make_async_copy(
+                    gapp_ref.at[t, :, :, pl.ds(col, TB)], bufs[2], sems[2]),
+            )
+
+        if db:
+            for dma in in_dmas(0, T - 1):   # prologue: prefetch iter T-1
+                dma.start()
 
         @pl.when(b == 0)
         def _():
@@ -336,18 +429,27 @@ class FusedTrainKernel(FusedNMSKernel):
 
         def body(i_loop, _):
             t = T - 1 - i_loop
-            in_dma = pltpu.make_async_copy(
-                hist_ref.at[t, :, :, pl.ds(col, TB)], c2v_scr, in_sem)
-            in_dma.start()
-            pre_dma = pltpu.make_async_copy(
-                pre_ref.at[t, :, :, pl.ds(col, TB)], pre_scr, pre_sem)
-            pre_dma.start()
-            g_dma = pltpu.make_async_copy(
-                gapp_ref.at[t, :, :, pl.ds(col, TB)], gapp_scr, gin_sem)
-            g_dma.start()
-            in_dma.wait()
-            pre_dma.wait()
-            g_dma.wait()
+            if db:
+                slot = i_loop % 2
+                # prefetch the NEXT iteration's inputs into the other slot
+                # while this one computes
+                tn = jnp.maximum(t - 1, 0)  # index safe even when predicated off
+
+                @pl.when(i_loop + 1 < T)
+                def _():
+                    for dma in in_dmas(1 - slot, tn):
+                        dma.start()
+                for dma in in_dmas(slot, t):
+                    dma.wait()
+                c2v_scr = c2v_bufs.at[slot]
+                pre_scr = pre_bufs.at[slot]
+                gapp_scr = gapp_bufs.at[slot]
+            else:
+                c2v_scr, pre_scr, gapp_scr = c2v_bufs, pre_bufs, gapp_bufs
+                for dma in in_dmas(None, t):
+                    dma.start()
+                for dma in in_dmas(None, t):
+                    dma.wait()
 
             c2v_read = lambda e: c2v_scr[e]
 
@@ -629,10 +731,16 @@ class FusedTrainKernel(FusedNMSKernel):
         in_specs += [w_spec] * len(self._weight_inputs(1, 1, 1))
         out_specs = [pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec(memory_space=pl.ANY)]
-        scratch = [pltpu.VMEM((E, zp, TB), jnp.float32),
-                   pltpu.VMEM((target, zp, TB), jnp.float32),
-                   pltpu.SemaphoreType.DMA(()),
-                   pltpu.SemaphoreType.DMA(())]
+        if self.fwd_pp:
+            scratch = [pltpu.VMEM((2, E, zp, TB), jnp.float32),
+                       pltpu.VMEM((2, target, zp, TB), jnp.float32),
+                       pltpu.SemaphoreType.DMA((2,)),
+                       pltpu.SemaphoreType.DMA((2,))]
+        else:
+            scratch = [pltpu.VMEM((E, zp, TB), jnp.float32),
+                       pltpu.VMEM((target, zp, TB), jnp.float32),
+                       pltpu.SemaphoreType.DMA(()),
+                       pltpu.SemaphoreType.DMA(())]
         kernel = functools.partial(FusedTrainKernel._fwd_kernel, self)
 
         def call(llr_pad, *weights):
@@ -677,13 +785,22 @@ class FusedTrainKernel(FusedNMSKernel):
                 out_shapes.append(
                     jax.ShapeDtypeStruct((Tp, dimp), jnp.float32))
                 self._g_kinds.append((kind, d))
-        scratch = [pltpu.VMEM((E, zp, TB), jnp.float32),
-                   pltpu.VMEM((E, zp, TB), jnp.float32),
-                   pltpu.VMEM((target, zp, TB), jnp.float32),
-                   pltpu.VMEM((target, zp, TB), jnp.float32),
-                   pltpu.SemaphoreType.DMA(()),
-                   pltpu.SemaphoreType.DMA(()),
-                   pltpu.SemaphoreType.DMA(())]
+        if self.bwd_db:
+            scratch = [pltpu.VMEM((2, E, zp, TB), jnp.float32),
+                       pltpu.VMEM((E, zp, TB), jnp.float32),
+                       pltpu.VMEM((2, target, zp, TB), jnp.float32),
+                       pltpu.VMEM((2, target, zp, TB), jnp.float32),
+                       pltpu.SemaphoreType.DMA((2,)),
+                       pltpu.SemaphoreType.DMA((2,)),
+                       pltpu.SemaphoreType.DMA((2,))]
+        else:
+            scratch = [pltpu.VMEM((E, zp, TB), jnp.float32),
+                       pltpu.VMEM((E, zp, TB), jnp.float32),
+                       pltpu.VMEM((target, zp, TB), jnp.float32),
+                       pltpu.VMEM((target, zp, TB), jnp.float32),
+                       pltpu.SemaphoreType.DMA(()),
+                       pltpu.SemaphoreType.DMA(()),
+                       pltpu.SemaphoreType.DMA(())]
         kernel = functools.partial(FusedTrainKernel._bwd_kernel, self)
 
         def call(llr_pad, weights, hist, apps_pre_pad, g_apps_pad):
