@@ -197,18 +197,20 @@ def main() -> int:
         spans_t = sorted(((v[0] / args.steps, k) for k, v in devt.items()),
                          reverse=True)
         topt = spans_t[0][0]
-        # the two custom-call spans inside the step are the fwd and bwd
-        # pallas kernels; bwd > fwd always
-        kernels = [(us, n) for us, n in spans_t
-                   if "custom-call" in n or "pallas" in n.lower()]
+        # the custom-vjp pallas kernels appear as jvp (forward) and
+        # transpose_jvp (backward) spans in the device lane
+        fwd_us = sum(us for us, n in spans_t
+                     if n.startswith("jvp") and "transpose" not in n)
+        bwd_us = sum(us for us, n in spans_t if n.startswith("transpose_jvp"))
         result["train"] = {
             "batch": bt, "tb": tb_t,
             "device_us_per_step": topt,
             "trained_cw_per_sec_device": bt / (topt * 1e-6),
+            "fwd_kernel_us_per_step": fwd_us,
+            "bwd_kernel_us_per_step": bwd_us,
+            "bwd_over_fwd": (bwd_us / fwd_us) if fwd_us else None,
             "top_device_spans_us": [[round(us, 1), n[:80]]
                                     for us, n in spans_t[:10]],
-            "kernel_spans_us": [[round(us, 1), n[:80]]
-                                for us, n in kernels[:6]],
             "trace_dir": tdir,
         }
 

@@ -63,7 +63,15 @@ def test_auto_tb_selections():
     z64 = TannerGraph(get_code(Z64))
     z72 = TannerGraph(get_code(Z72))
     assert auto_tb(wman, 4096, mode="stats") == 256
-    assert auto_tb(wman, 2048, mode="train") == 256
+    # train prefers the tile whose DMA-overlap (double-buffered) variant
+    # fits over a larger single-buffer tile: measured round 4, tb128 with
+    # full overlap trains at 858k cw/s vs 653k for tb256 without the
+    # backward overlap (wman tb256 bwd_db measured OOM at 18.87M scoped)
+    assert auto_tb(wman, 2048, mode="train") == 128
+    assert kernel_vmem_bytes(wman, 256, mode="train_bwd",
+                             overlap=True) > SCOPED_VMEM_BYTES
+    assert kernel_vmem_bytes(wman, 128, mode="train_bwd",
+                             overlap=True) <= SCOPED_VMEM_BYTES
     # z64 5G: stats at 256, the train pair drops to 128 (BASELINE config #4
     # now rides the fused paths — round-3 VERDICT item #1)
     assert auto_tb(z64, 4096, mode="stats") == 256
