@@ -6,7 +6,9 @@ sample+decode+count at a fixed large batch, kernel variants selected via
 env (LDPC_KERNEL_UNROLL etc.).
 
 Usage: python benchmarks/kernel_opt_check.py [--batch 131072] [--skip-parity]
-       [--sharing 3 0 3] [--code wman_N0576_R34_z24] [--ucn] [--deploy]
+       [--sharing 3 0 3] [--code wman_N0576_R34_z24] [--tb 256]
+(UCN parity is exercised by passing a sharing triple with a nonzero UCN
+entry, e.g. --sharing 3 3 3.)
 """
 
 from __future__ import annotations
@@ -32,7 +34,6 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--skip-parity", action="store_true")
     p.add_argument("--skip-throughput", action="store_true")
-    p.add_argument("--deploy", action="store_true")
     p.add_argument("--tb", type=int, default=256)
     args = p.parse_args()
 

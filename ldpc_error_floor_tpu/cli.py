@@ -206,7 +206,12 @@ def _cmd_simulate(args) -> int:
     from ldpc_error_floor_tpu.ops.pallas_decoder import auto_tb
     local = args.batch // jax.device_count() if args.mesh else args.batch
     target = (code.N - code.M) if args.systematic else 0
-    tb = auto_tb(graph, local, mode="stats", ucn=spec.ucn_enabled,
+    # --stop syndrome builds the deploy-mode kernel, whose footprint adds
+    # an [N, zp, TB] APP scratch — size the tile for the kernel actually
+    # compiled, or a code near the VMEM knee dies at compile instead of
+    # falling back a tile size
+    tb_mode = "deploy" if args.stop == "syndrome" else "stats"
+    tb = auto_tb(graph, local, mode=tb_mode, ucn=spec.ucn_enabled,
                  target=target, n_iters=args.iters)
     if tb is None:
         backend, tb = "xla", 128

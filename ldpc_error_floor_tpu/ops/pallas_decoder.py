@@ -536,10 +536,7 @@ class FusedNMSKernel:
             if ucn:
                 for j in range(N):
                     app_scr[j] = apps[j]
-            if final is None:
-                for j in range(N):
-                    write_app(j, apps[j])
-            elif final is True:
+            if final is None or final is True:
                 for j in range(N):
                     write_app(j, apps[j])
             elif final is not False:

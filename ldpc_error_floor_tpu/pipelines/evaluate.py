@@ -181,11 +181,16 @@ class Evaluator:
                 # SIGSEGV (INTERNAL), VMEM RESOURCE_EXHAUSTED, and Mosaic
                 # lowering exceptions on some codes.  Degrade permanently to
                 # per-batch dispatches rather than kill a multi-hour
-                # training run.
+                # training run — but log the FULL traceback, since this
+                # broad except would otherwise also mask a genuine bug in
+                # the fused path (the fallback never re-exercises it)
+                import traceback
                 import warnings
-                warnings.warn("fused evaluator sweep failed to compile "
-                              f"({str(e).splitlines()[0][:120]}); falling "
-                              "back to per-batch evaluation")
+                warnings.warn("fused evaluator sweep failed "
+                              f"({type(e).__name__}: "
+                              f"{str(e).splitlines()[0][:120]}); falling "
+                              "back to per-batch evaluation. Full "
+                              f"traceback:\n{traceback.format_exc()}")
                 self.fused = False
             else:
                 # per-batch [batch_num, n_snr, {3,}] -> float64 totals
