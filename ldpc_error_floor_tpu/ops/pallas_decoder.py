@@ -54,10 +54,35 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-#: Scoped-VMEM budget available to one Pallas kernel invocation.  16 MiB was
-#: measured on v5e via compile errors (round 3); other generations can be
-#: set with LDPC_SCOPED_VMEM (bytes).
+#: The Mosaic compiler's DEFAULT scoped-VMEM limit for one Pallas kernel
+#: invocation.  16 MiB was measured on v5e via compile errors (round 3);
+#: round 4 discovered it is only a compiler default, raisable per kernel
+#: with CompilerParams(vmem_limit_bytes=...) up to the physical VMEM.
+#: Override with LDPC_SCOPED_VMEM (bytes).
 SCOPED_VMEM_BYTES = int(os.environ.get("LDPC_SCOPED_VMEM", 16 * 2 ** 20))
+
+#: Hard cap when RAISING the scoped limit (bytes).  v5e has 128 MiB of
+#: VMEM per core; 96 MiB leaves headroom for XLA's own buffers.  Measured
+#: working: the z=64 5G full-overlap backward (16.55 MiB actual) compiles
+#: and runs at a 24 MiB limit.  Override with LDPC_VMEM_CAP.
+VMEM_CAP_BYTES = int(os.environ.get("LDPC_VMEM_CAP", 96 * 2 ** 20))
+
+
+def kernel_vmem_limit(model_bytes: int) -> int:
+    """Scoped-VMEM limit to request from Mosaic for a kernel whose modeled
+    footprint is ``model_bytes``: the compiler default when the model fits
+    it, else the model plus a calibration margin (the model tracks actual
+    scoped allocation within ~10% on the measured configs; 25% + 2 MiB
+    covers that error band)."""
+    if model_bytes <= SCOPED_VMEM_BYTES:
+        return SCOPED_VMEM_BYTES
+    return int(model_bytes * 1.25) + 2 * 2 ** 20
+
+
+def vmem_fits(model_bytes: int) -> bool:
+    """Whether a kernel with this modeled footprint can be compiled at all
+    (its raised limit stays under the physical-VMEM cap)."""
+    return kernel_vmem_limit(model_bytes) <= VMEM_CAP_BYTES
 
 
 def _as_graph(code_or_graph) -> TannerGraph:
@@ -122,11 +147,14 @@ def kernel_vmem_bytes(code_or_graph, tb: int, n_iters: int = 20,
         scratch = ((3 * E + 4 * tgt) if overlap
                    else (2 * E + 2 * tgt)) * tile
         io = 2 * N * tile + 3 * 2 * Tp * 512 * 4  # llr in + grad rows
-        # 14*Dc: the backward keeps g_mags/is_m1/is_m2/amag/sgn plus the
-        # hoisted qr/gm/p candidate tiles live per check, and Mosaic's
-        # VMEM stack spill was measured ~5 MB above the round-3 6*Dc term
-        # (wman tb256 bwd_db compiles at 18.87M actual vs 13.8M modeled)
-        live = (2 * N + 14 * Dc + 8) * tile + ucn_extra
+        # 14*Dc + 4*N: the backward keeps g_mags/is_m1/is_m2/amag/sgn plus
+        # the hoisted qr/gm/p candidate tiles live per check, and Mosaic's
+        # VMEM stack spill was measured well above the round-3 6*Dc term —
+        # calibration points: wman tb256 bwd_db fails at 18.87M actual
+        # (13.8M under the old model), z64 tb128 bwd_db fails at 16.55M
+        # actual (15.4M under the 2*N model) while z64 tb128 plain and
+        # wman tb256 plain both compile
+        live = (4 * N + 14 * Dc + 8) * tile + ucn_extra
     else:
         raise ValueError(f"bad mode {mode!r}")
     return scratch + io + live + 512 * 1024       # fixed Mosaic overhead
@@ -142,27 +170,38 @@ def auto_tb(code_or_graph, local_batch: int, mode: str = "stats",
     its backward kernel).  Returns ``None`` when no tile fits — callers
     fall back to the scan backend.
 
-    For the train pair, a tile whose DMA-overlap (double-buffered)
-    variant fits is preferred over a larger tile that only fits the
-    single-buffer layout — measured on v5e (round 4): wman tb128 with
-    full overlap trains at 858k cw/s vs 653k for tb256 without the
-    backward overlap."""
-    limit = SCOPED_VMEM_BYTES if limit is None else limit
+    Round 4: a kernel whose modeled footprint exceeds the compiler's
+    16 MiB default now RAISES its scoped limit (kernel_vmem_limit), so
+    "fits" means the raised limit stays under the physical-VMEM cap.
+    Tile-order heuristics, both measured on v5e:
+
+    * small lift (zp <= 32): tb 256 first (wman stats 3.61M cw/s at 256
+      vs 3.52M at 128); large lift: tb 128 first (z72 stats 732k at 128
+      vs 582k at 256 — the [zp, 256] per-edge tiles of a big-zp code
+      spill Mosaic's scheduler);
+    * for the train pair, a tile whose DMA-overlap (double-buffered)
+      variant fits beats a larger single-buffer tile (wman: 858k with
+      full overlap at 128 vs 653k partial at 256; 859k at 256 full)."""
+    cap = VMEM_CAP_BYTES if limit is None else limit
+    g = _as_graph(code_or_graph)
+    zp = _round_up(max(int(g.code.z), 1), 8)
+    tiles = (256, 128) if zp <= 32 else (128, 256)
+
+    def fits(tb, overlap=False):
+        if local_batch % tb != 0:
+            return False
+        v = kernel_vmem_bytes(code_or_graph, tb, n_iters=n_iters, mode=mode,
+                              ucn=ucn, target=target, overlap=overlap)
+        return kernel_vmem_limit(v) <= cap
+
     if mode in ("train", "train_bwd"):
         for overlap in (True, False):
-            for tb in (256, 128):
-                if local_batch % tb != 0:
-                    continue
-                if kernel_vmem_bytes(code_or_graph, tb, n_iters=n_iters,
-                                     mode=mode, ucn=ucn, target=target,
-                                     overlap=overlap) <= limit:
+            for tb in tiles:
+                if fits(tb, overlap):
                     return tb
         return None
-    for tb in (256, 128):
-        if local_batch % tb != 0:
-            continue
-        if kernel_vmem_bytes(code_or_graph, tb, n_iters=n_iters, mode=mode,
-                             ucn=ucn, target=target) <= limit:
+    for tb in tiles:
+        if fits(tb):
             return tb
     return None
 
@@ -247,6 +286,11 @@ class FusedNMSKernel:
         self.cn_edges = [[] for _ in range(self.M)]
         for e in graph.edge_of_cn_order:  # row-major: slot order per check
             self.cn_edges[self.edge_cn[e]].append(int(e))
+        # scoped-VMEM limit this kernel requests from Mosaic (raised above
+        # the 16 MiB default when the modeled footprint needs it)
+        self.vmem_limit = kernel_vmem_limit(kernel_vmem_bytes(
+            graph, tb, n_iters=spec.n_iters, mode=self.mode,
+            ucn=spec.ucn_enabled, target=cfg.target_node))
 
     # ----- kernel building blocks ------------------------------------------------
 
@@ -256,6 +300,10 @@ class FusedNMSKernel:
         z, zp = self.z, self.zp
         s = s % z if z else 0
         if s == 0 or z == 1:
+            return tile
+        # perf-attribution diagnostic ONLY (breaks numerics): measure the
+        # kernel with all circulant rotations elided
+        if os.environ.get("LDPC_KERNEL_NOROLL") == "1":
             return tile
         # (measured round 3: pltpu.roll — the Mosaic hardware rotate — is
         # NOT faster than this two-slice concatenate on v5e, 2.36M vs
@@ -765,6 +813,8 @@ class FusedNMSKernel:
                 out_specs=out_specs,
                 scratch_shapes=scratch,
                 interpret=self.interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=self.vmem_limit),
                 cost_estimate=pl.CostEstimate(
                     flops=flops_per_block * grid[0],
                     bytes_accessed=llr_pad.size * 8,

@@ -83,20 +83,24 @@ class FusedTrainKernel(FusedNMSKernel):
         # (forward's state checkpoint + APP stack, backward's hist/pre/gapp
         # reads) are ~1 MB per iteration per grid step — comparable to the
         # iteration's compute time — so each kernel double-buffers them
-        # whenever the extra VMEM fits the scoped budget, hiding the DMA
-        # behind compute.  Big codes fall back to the single-buffer
-        # in-place layout (which is what lets them fit at all).
+        # whenever the footprint can be compiled (raising Mosaic's 16 MiB
+        # default scoped limit when needed, up to the physical-VMEM cap);
+        # each pallas_call requests the limit its modeled footprint needs.
         from ldpc_error_floor_tpu.ops.pallas_decoder import (
-            SCOPED_VMEM_BYTES, kernel_vmem_bytes)
+            kernel_vmem_bytes, kernel_vmem_limit, vmem_fits)
         tgt = cfg.target_node if cfg.target_node > 0 else 0
-        self.fwd_pp = kernel_vmem_bytes(
-            graph, tb, n_iters=spec.n_iters, mode="train_fwd",
-            ucn=spec.ucn_enabled, target=tgt,
-            overlap=True) <= SCOPED_VMEM_BYTES
-        self.bwd_db = kernel_vmem_bytes(
-            graph, tb, n_iters=spec.n_iters, mode="train_bwd",
-            ucn=spec.ucn_enabled, target=tgt,
-            overlap=True) <= SCOPED_VMEM_BYTES
+
+        def _bytes(mode, overlap):
+            return kernel_vmem_bytes(graph, tb, n_iters=spec.n_iters,
+                                     mode=mode, ucn=spec.ucn_enabled,
+                                     target=tgt, overlap=overlap)
+
+        self.fwd_pp = vmem_fits(_bytes("train_fwd", True))
+        self.bwd_db = vmem_fits(_bytes("train_bwd", True))
+        self.fwd_vmem_limit = kernel_vmem_limit(
+            _bytes("train_fwd", self.fwd_pp))
+        self.bwd_vmem_limit = kernel_vmem_limit(
+            _bytes("train_bwd", self.bwd_db))
         self.dims = {}
         cn_mode, ucn_mode, vn_mode = spec.sharing
         for kind, mode in (("cn", cn_mode), ("ucn", ucn_mode),
@@ -753,6 +757,8 @@ class FusedTrainKernel(FusedNMSKernel):
                 kernel, grid=(B // TB,), in_specs=in_specs,
                 out_shape=out_shape, out_specs=out_specs,
                 scratch_shapes=scratch, interpret=self.interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=self.fwd_vmem_limit),
                 cost_estimate=pl.CostEstimate(
                     flops=T * E * zp * B * 16,
                     bytes_accessed=(llr_pad.size + T * (target + E) * zp * B)
@@ -809,6 +815,8 @@ class FusedTrainKernel(FusedNMSKernel):
                 kernel, grid=(B // TB,), in_specs=in_specs,
                 out_shape=out_shapes, out_specs=out_specs,
                 scratch_shapes=scratch, interpret=self.interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=self.bwd_vmem_limit),
                 cost_estimate=pl.CostEstimate(
                     flops=T * E * zp * B * 40,
                     bytes_accessed=(llr_pad.size
