@@ -200,11 +200,44 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         if not cfg.train_on_zero_word:
             from ldpc_error_floor_tpu.codes.encoder import Encoder
             encoder = Encoder(graph)
-        epoch_step = make_epoch_step(
-            decoder, spec, cfg.loss_type, start, end, cfg.fixed_init,
-            optimizer, n_steps=n_train_batches, labels=labels,
-            channel=channel, sigmas=train_sigmas, data_mode=data_mode,
-            mesh=mesh, encoder=encoder)
+        def build_epoch_step(dec):
+            return make_epoch_step(
+                dec, spec, cfg.loss_type, start, end, cfg.fixed_init,
+                optimizer, n_steps=n_train_batches, labels=labels,
+                channel=channel, sigmas=train_sigmas, data_mode=data_mode,
+                mesh=mesh, encoder=encoder)
+
+        epoch_step = build_epoch_step(decoder)
+        fused_train = dcfg.backend == "pallas"
+
+        def run_epoch_step(*args):
+            """First dispatch per block may hit a fused-train compile
+            failure the VMEM model didn't predict (the model is calibrated
+            to one Mosaic version; a toolchain bump can shift the real
+            footprint).  Mirror the Evaluator's degrade path
+            (pipelines/evaluate.py:178-194): log the full traceback, rebuild
+            the decoder on the scan backend, and continue — gradients match
+            between the backends (tests/test_pallas_train.py), so only
+            throughput is lost, not the run."""
+            nonlocal epoch_step, decoder, fused_train
+            try:
+                return epoch_step(*args)
+            except (ValueError, TypeError):
+                raise            # argument/shape errors are user-caused
+            except Exception as e:
+                if not fused_train:
+                    raise
+                import traceback
+                import warnings
+                warnings.warn("fused train step failed "
+                              f"({type(e).__name__}: "
+                              f"{str(e).splitlines()[0][:120]}); falling "
+                              "back to the scan backend. Full traceback:\n"
+                              f"{traceback.format_exc()}")
+                fused_train = False
+                decoder = NMSDecoder(code, dcfg_scan, spec, graph=graph)
+                epoch_step = build_epoch_step(decoder)
+                return epoch_step(*args)
         if mesh is not None:
             from ldpc_error_floor_tpu.parallel.mesh import replicate
             params = replicate(mesh, params)
@@ -246,12 +279,12 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
                     and n_train_batches > 0):
                 set_learning_rate(opt_state, lr_curr)
                 if data_mode:
-                    params, opt_state, loss = epoch_step(
+                    params, opt_state, loss = run_epoch_step(
                         params, opt_state, data_train_dev,
                         jnp.float32(etha_curr))
                 else:
                     key, sub = jax.random.split(key)
-                    params, opt_state, loss = epoch_step(
+                    params, opt_state, loss = run_epoch_step(
                         params, opt_state, sub, jnp.float32(etha_curr))
                 avg_loss = float(loss)
             t_train = time.perf_counter() - t0

@@ -46,9 +46,16 @@ def _read_rows(path: str):
         return sorted(line.strip() for line in f if line.strip())
 
 
-def test_two_process_matches_single(tmp_path):
-    out = str(tmp_path)
+@pytest.fixture(scope="module")
+def mp_out(tmp_path_factory):
+    """Single-process 8-device reference, shared by every process layout."""
+    out = str(tmp_path_factory.mktemp("mp"))
     _run(1, out)
+    return out
+
+
+def test_two_process_matches_single(mp_out):
+    out = mp_out
     _run(2, out)
 
     with open(os.path.join(out, "res_1_0.json")) as f:
@@ -99,3 +106,43 @@ def test_two_process_matches_single(tmp_path):
     assert len(single) > 0
     assert len(part0) > 0 and len(part1) > 0  # both hosts found words
     assert sorted(part0 + part1) == single
+
+
+def test_four_process_matches_single(mp_out):
+    """4 processes x 2 devices each — the v5p-16-shaped scale-out rehearsal
+    (BASELINE.json north star): pooled Monte-Carlo / deploy counters and the
+    all-reduced training step must equal the 1-process 8-device run."""
+    out = mp_out
+    _run(4, out)
+
+    with open(os.path.join(out, "res_1_0.json")) as f:
+        ref = json.load(f)
+    res = []
+    for pid in range(4):
+        with open(os.path.join(out, f"res_4_{pid}.json")) as f:
+            res.append(json.load(f))
+
+    # every process observed the same replicated pooled results
+    for k in ("frames", "bit_errors", "frame_errors", "genie_errors",
+              "d_frames", "d_frame_errors", "d_undetected", "d_iters_sum"):
+        vals = {r[k] for r in res}
+        assert vals == {ref[k]}, (k, vals, ref[k])
+    assert ref["genie_errors"] > 0 and ref["d_frame_errors"] > 0
+
+    # training: loss and updated weights match the single-process run
+    assert np.isclose(res[0]["loss"], ref["loss"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res[0]["cn_after"]),
+                               np.asarray(ref["cn_after"]),
+                               rtol=1e-5, atol=1e-7)
+
+    # kill/resume parity holds in the 4-process layout too
+    for k in ("frames", "bit_errors", "frame_errors", "genie_errors"):
+        assert res[0][f"r_{k}"] == res[0][f"u_{k}"] == ref[f"u_{k}"], k
+
+    # harvest: the 4 per-host .part files pool to the single-process rows
+    single = _read_rows(os.path.join(out, "uncor_1.txt"))
+    parts = []
+    for pid in range(4):
+        parts += _read_rows(os.path.join(out, f"uncor_4.txt.part{pid}"))
+    assert len(single) > 0
+    assert sorted(parts) == single

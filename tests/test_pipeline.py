@@ -127,3 +127,48 @@ def test_evaluator_stats_only_matches_loss_path():
     r2, _ = e2.run(params, sig, 128, 0.0, key=key)
     np.testing.assert_allclose(r1[:3], r2[:3])   # BER/FER rows identical
     assert np.all(r2[3] == 0.0)                  # loss row zeroed
+
+
+def test_fused_train_runtime_fallback(tmp_path, monkeypatch):
+    """A fused-train kernel that fails to compile despite the VMEM model's
+    prediction must degrade to the scan backend mid-run (with a warning),
+    not kill the training (pipelines/train.py run_epoch_step)."""
+    import warnings
+
+    import jax
+    import ldpc_error_floor_tpu.pipelines.train as pt
+    from ldpc_error_floor_tpu.ops.pallas_train import FusedTrainKernel
+
+    def cfg(tag):
+        return ExperimentConfig(
+            code="MACKAY_N96_K48",
+            sharing=(3, 0, 3), sampling_type=0, decoding_type=1,
+            iters_max=3, fixed_iter=0, fixed_init=0, iter_step=3,
+            loss_type=0, opt_metric=1, etha_start=0.0, eval_loss=1,
+            learn_rate_start=5e-3, batch_size=256, training_num=512,
+            epochs=1, valid_flag=1, valid_num=256, snrs=[2.0], seed=7,
+            out_dir=str(tmp_path / tag), input_dir=str(tmp_path / "Inputs"),
+            out_prefix=tag)
+
+    res_scan = run_training(cfg("SCAN"), verbose=False)
+
+    # Force the fused-path selection (it requires a TPU backend), then make
+    # the kernel fail at its first dispatch -- simulating a compile failure
+    # the calibrated VMEM model did not predict.
+    monkeypatch.setattr(pt.jax, "default_backend", lambda: "tpu")
+
+    def boom(self, *a, **k):
+        raise RuntimeError("forced fused-train compile failure (test)")
+
+    monkeypatch.setattr(FusedTrainKernel, "apps", boom)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res_fb = run_training(cfg("FB"), verbose=False)
+    assert any("falling back to the scan backend" in str(w.message)
+               for w in rec), [str(w.message) for w in rec]
+
+    # identical RNG stream + identical scan gradients => identical results
+    for kind in ("cn", "vn"):
+        np.testing.assert_array_equal(np.asarray(res_scan.params[kind]),
+                                      np.asarray(res_fb.params[kind]))
+    assert res_scan.best_metric == res_fb.best_metric
