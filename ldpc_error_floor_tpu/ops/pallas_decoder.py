@@ -133,19 +133,25 @@ def kernel_vmem_bytes(code_or_graph, tb: int, n_iters: int = 20,
         io += 2 * 2 * Tp * tb * 4 if mode == "stats" else 2 * 8 * tb * 4
         live = (N + 3 * Dc + 6) * tile + ucn_extra
     elif mode == "train_fwd":
-        # `overlap`: ping-pong edge-state buffers + double APP stage, so
-        # the per-iteration checkpoint/APP DMAs overlap the full compute
-        scratch = ((2 * E + 2 * tgt) if overlap else (E + tgt)) * tile
+        # `overlap`: ping-pong edge-state buffers + double APP/residual
+        # stages, so the per-iteration checkpoint DMAs overlap the compute.
+        # cres: the round-5 per-check residual stream (m1/m2/neg_tot
+        # + u_mask rows) staged per iteration
+        cres = (4 if ucn else 3) * M
+        scratch = ((2 * E + 2 * tgt + 2 * cres) if overlap
+                   else (E + tgt + cres)) * tile
         io = 2 * N * tile                         # llr in (hist/apps are HBM)
         live = (N + 3 * Dc + 6) * tile + ucn_extra
     elif mode in ("train_bwd", "train"):
-        # two edge buffers (state + cotangent carry), pre-clip APP +
-        # cotangent tiles, and a wider per-check working set (amag/sgn/
-        # g_mags/is_m1/is_m2 + the rolled cotangent).  `overlap`: the
-        # hist/pre/gapp input landing buffers double so the next
-        # iteration's DMAs prefetch during compute
-        scratch = ((3 * E + 4 * tgt) if overlap
-                   else (2 * E + 2 * tgt)) * tile
+        # two edge buffers (v2c_pre + cotangent carry), residual landing
+        # buffers, pre-clip APP + cotangent tiles, and a wider per-check
+        # working set (amag/sgn/g_mags/is_m1/is_m2 + the rolled
+        # cotangent).  `overlap`: the hist/cres/pre/gapp input landing
+        # buffers double so the next iteration's DMAs prefetch during
+        # compute
+        cres = (4 if ucn else 3) * M
+        scratch = ((3 * E + 4 * tgt + 2 * cres) if overlap
+                   else (2 * E + 2 * tgt + cres)) * tile
         io = 2 * N * tile + 3 * 2 * Tp * 512 * 4  # llr in + grad rows
         # 14*Dc + 4*N: the backward keeps g_mags/is_m1/is_m2/amag/sgn plus
         # the hoisted qr/gm/p candidate tiles live per check, and Mosaic's
@@ -184,11 +190,13 @@ def auto_tb(code_or_graph, local_batch: int, mode: str = "stats",
       full overlap at 128 vs 653k partial at 256; 859k at 256 full)."""
     cap = VMEM_CAP_BYTES if limit is None else limit
     g = _as_graph(code_or_graph)
-    zp = _round_up(max(int(g.code.z), 1), 8)
+    z = max(int(g.code.z), 1)
+    zp = _round_up(z, 8)
+    pack = max(1, zp // z)   # sublane packing: each tile holds pack*tb words
     tiles = (256, 128) if zp <= 32 else (128, 256)
 
     def fits(tb, overlap=False):
-        if local_batch % tb != 0:
+        if local_batch % (tb * pack) != 0:
             return False
         v = kernel_vmem_bytes(code_or_graph, tb, n_iters=n_iters, mode=mode,
                               ucn=ucn, target=target, overlap=overlap)
@@ -242,6 +250,20 @@ class FusedNMSKernel:
         code = graph.code
         self.N, self.M, self.z = code.N, code.M, code.z
         self.zp = _round_up(self.z, 8)
+        # Sublane packing (round 5): a z < 8 code would waste zp - z of the
+        # 8 sublanes in every tile (z=1 MacKay/BCH/Polar: 7 of 8).  Instead
+        # pack P = zp // z INDEPENDENT batch groups into the sublanes — each
+        # tile row block [g*z, (g+1)*z) carries batch group g, circulant
+        # rolls rotate within each group, and the per-lane stats become
+        # per-(group, lane).  One kernel invocation then decodes P * TB
+        # codewords per tile at the same op count.
+        self.P = max(1, self.zp // max(self.z, 1))
+        # perf-attribution diagnostic: measure the pre-round-5 padded
+        # layout (1 codeword per lane, zp - z dead sublanes)
+        if os.environ.get("LDPC_KERNEL_NOPACK") == "1":
+            self.P = 1
+        self.prows = self.P * self.z          # valid (non-pad) rows per tile
+        self.stat_rows = _round_up(4 * self.P, 8)  # deploy-mode stat block
         self.T = spec.n_iters
         self.target = cfg.target_node if cfg.target_node > 0 else self.N
         if interpret is None:
@@ -295,8 +317,9 @@ class FusedNMSKernel:
     # ----- kernel building blocks ------------------------------------------------
 
     def _roll(self, tile, s: int):
-        """Rotate the first z sublanes of a [zp, TB] tile by -s (check-side
-        slot h reads variable-side slot (h+s) mod z); pad rows don't matter."""
+        """Rotate each z-row batch group of a [zp, TB] tile by -s (check-side
+        slot h reads variable-side slot (h+s) mod z), group-confined so the
+        P packed batch groups never mix; pad rows don't matter."""
         z, zp = self.z, self.zp
         s = s % z if z else 0
         if s == 0 or z == 1:
@@ -311,9 +334,37 @@ class FusedNMSKernel:
         # the scaled-arithmetic rewrite via LDPC_KERNEL_ROLL=pltpu)
         if os.environ.get("LDPC_KERNEL_ROLL") == "pltpu" and zp == z:
             return pltpu.roll(tile, shift=z - s, axis=0)
-        parts = [tile[s:z], tile[0:s]]
-        if zp > z:
-            parts.append(tile[z:zp])
+        parts = []
+        for g in range(self.P):
+            o = g * z
+            parts += [tile[o + s:o + z], tile[o:o + s]]
+        if zp > self.prows:
+            parts.append(tile[self.prows:zp])
+        return jnp.concatenate(parts, axis=0)
+
+    def _group_sum(self, tile):
+        """Sublane reduction respecting the packed layout: [zp, TB] ->
+        [P, TB], row g = sum over batch group g's z rows.  Caller masks pad
+        rows first (when zp > prows)."""
+        if self.z == 1:
+            return tile if self.zp == self.P else tile[:self.P]
+        if self.P == 1:
+            return jnp.sum(tile, axis=0, keepdims=True)
+        z = self.z
+        return jnp.concatenate(
+            [jnp.sum(tile[g * z:(g + 1) * z], axis=0, keepdims=True)
+             for g in range(self.P)], axis=0)
+
+    def _expand_groups(self, x):
+        """Inverse broadcast of `_group_sum`: [P, TB] -> [zp, TB], every row
+        of batch group g reads x[g] (pad rows read 0)."""
+        if self.z == 1 and self.zp == self.P:
+            return x
+        parts = [jnp.broadcast_to(x[g:g + 1], (self.z, x.shape[1]))
+                 for g in range(self.P)]
+        if self.zp > self.prows:
+            parts.append(jnp.zeros((self.zp - self.prows, x.shape[1]),
+                                   x.dtype))
         return jnp.concatenate(parts, axis=0)
 
     def _unroll(self, tile, s: int):
@@ -391,12 +442,14 @@ class FusedNMSKernel:
             llr_ref[...] = pre
         inv_scale = 1.0 / self.scale  # = the grid step; exact power of two
 
-        # valid-row mask (pad sublanes excluded from reductions)
-        if zp > z:
+        # valid-row mask (pad sublanes excluded from reductions); with
+        # packing, rows < P*z are valid (P batch groups of z rows each)
+        if zp > self.prows:
             row = jax.lax.broadcasted_iota(jnp.int32, (zp, TB), 0)
-            valid = (row < z).astype(jnp.float32)
+            valid = (row < self.prows).astype(jnp.float32)
         else:
             valid = None
+        P_ = self.P
 
         c2v_scr[...] = jnp.zeros((E, zp, TB), jnp.float32)
         if app_scr is not None:
@@ -564,7 +617,7 @@ class FusedNMSKernel:
                         else wrong_acc + wrong
             if valid is not None:
                 wrong_acc = wrong_acc * valid
-            nerr_tot = jnp.sum(wrong_acc, axis=0, keepdims=True)  # [1, TB]
+            nerr_tot = self._group_sum(wrong_acc)                 # [P, TB]
             wrong_any = (nerr_tot > 0.0).astype(jnp.float32)
             return apps, wrong_any, nerr_tot
 
@@ -592,13 +645,13 @@ class FusedNMSKernel:
                 def _():
                     for j in range(N):
                         write_app(j, apps[j])
-            err_out[pl.ds(t, 1), :] = wrong_any
-            nerr_out[pl.ds(t, 1), :] = nerr_tot
+            err_out[pl.ds(t * P_, P_), :] = wrong_any
+            nerr_out[pl.ds(t * P_, P_), :] = nerr_tot
             return wrong_any
 
         if deploy:
             def synd_ok(apps):
-                """[1, TB] 1.0 where the hard decisions satisfy every lifted
+                """[P, TB] 1.0 where the hard decisions satisfy every lifted
                 parity check (the real early-termination test a deployed
                 decoder runs — no genie / codeword knowledge)."""
                 pm = [1.0 - 2.0 * (a >= 0.0).astype(jnp.float32) for a in apps]
@@ -611,16 +664,17 @@ class FusedNMSKernel:
                     bad = (prod < 0.0).astype(jnp.float32)
                     if valid is not None:
                         bad = bad * valid
-                    s_ = jnp.sum(bad, axis=0, keepdims=True)
+                    s_ = self._group_sum(bad)
                     unsat = s_ if unsat is None else unsat + s_
                 return (unsat == 0.0).astype(jnp.float32)
 
-            # Per-lane running stats live in the stat_out VMEM ref (row 0
-            # err, 1 nerr, 2 iters, 3 run-mask) — vector while_loop carries
-            # trip Mosaic relayout between replicated inits and lane-varying
-            # body outputs, so the carry holds only scalars.
-            stat_out[...] = jnp.zeros((8, TB), jnp.float32)
-            stat_out[3:4, :] = jnp.ones((1, TB), jnp.float32)
+            # Per-lane running stats live in the stat_out VMEM ref (rows
+            # [0,P) err, [P,2P) nerr, [2P,3P) iters, [3P,4P) run-mask) —
+            # vector while_loop carries trip Mosaic relayout between
+            # replicated inits and lane-varying body outputs, so the carry
+            # holds only scalars.
+            stat_out[...] = jnp.zeros((self.stat_rows, TB), jnp.float32)
+            stat_out[3 * P_:4 * P_, :] = jnp.ones((P_, TB), jnp.float32)
 
             def cond(carry):
                 t, nrun = carry
@@ -628,21 +682,23 @@ class FusedNMSKernel:
 
             def dbody(carry):
                 t, _ = carry
-                run = stat_out[3:4, :]
+                run = stat_out[3 * P_:4 * P_, :]          # [P, TB]
                 apps, wrong_any, nerr_tot = iteration(t)
                 # freeze each lane's outputs at its own stop iteration
+                run_rows = self._expand_groups(run)
                 for j in range(N):
                     a = jnp.clip(apps[j], -self.clip_s, self.clip_s)
-                    app_scr[j] = jnp.where(run > 0.0, a, app_scr[j])
+                    app_scr[j] = jnp.where(run_rows > 0.0, a, app_scr[j])
                 keep = 1.0 - run
-                stat_out[0:1, :] = run * wrong_any + keep * stat_out[0:1, :]
-                stat_out[1:2, :] = run * nerr_tot + keep * stat_out[1:2, :]
-                stat_out[2:3, :] = stat_out[2:3, :] + run
+                stat_out[0:P_, :] = run * wrong_any + keep * stat_out[0:P_, :]
+                stat_out[P_:2 * P_, :] = (run * nerr_tot
+                                          + keep * stat_out[P_:2 * P_, :])
+                stat_out[2 * P_:3 * P_, :] = stat_out[2 * P_:3 * P_, :] + run
                 run = run * (1.0 - synd_ok(apps))
-                stat_out[3:4, :] = run
+                stat_out[3 * P_:4 * P_, :] = run
                 return t + 1, jnp.sum(run)
 
-            jax.lax.while_loop(cond, dbody, (0, jnp.float32(TB)))
+            jax.lax.while_loop(cond, dbody, (0, jnp.float32(P_ * TB)))
             for j in range(N):
                 a = app_scr[j]
                 if inv_scale != 1.0:
@@ -658,7 +714,7 @@ class FusedNMSKernel:
                 return t + 1, still_wrong * stats_step(t)
 
             jax.lax.while_loop(cond, wbody,
-                               (0, jnp.ones((1, TB), jnp.float32)))
+                               (0, jnp.ones((P_, TB), jnp.float32)))
         elif self.unroll >= T:
             # fully static iteration loop: weight reads/stat stores become
             # static offsets and Mosaic schedules across iterations
@@ -757,7 +813,8 @@ class FusedNMSKernel:
     @functools.cached_property
     def _call(self):
         N, zp, TB = self.N, self.zp, self.tb
-        Tp = _round_up(self.T, 8)  # stat rows padded to the sublane boundary
+        # stat rows: P per iteration, padded to the sublane boundary
+        Tp = _round_up(self.T * self.P, 8)
         spec = self.spec
         cn_mode, _, vn_mode = spec.sharing
         deploy = self.mode == "deploy"
@@ -776,7 +833,8 @@ class FusedNMSKernel:
             pl.BlockSpec((N * zp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
         ]
         if deploy:
-            out_specs.append(pl.BlockSpec((8, TB), lambda b: (0, b),
+            out_specs.append(pl.BlockSpec((self.stat_rows, TB),
+                                          lambda b: (0, b),
                                           memory_space=pltpu.VMEM))
         else:
             out_specs += [
@@ -799,7 +857,8 @@ class FusedNMSKernel:
                 jax.ShapeDtypeStruct((N * zp, B), jnp.float32),  # app (padded z)
             ]
             if deploy:
-                out_shape.append(jax.ShapeDtypeStruct((8, B), jnp.float32))
+                out_shape.append(jax.ShapeDtypeStruct((self.stat_rows, B),
+                                                      jnp.float32))
             else:
                 out_shape += [
                     jax.ShapeDtypeStruct((Tp, B), jnp.float32),  # err flags
@@ -823,16 +882,40 @@ class FusedNMSKernel:
 
         return call
 
-    def _prep_inputs(self, stacked, llr):
-        N, z, zp = self.N, self.z, self.zp
+    def _pack_llr(self, llr):
+        """[N*z, B] -> [N*zp, B/P]: batch group g of B/P lanes lands in tile
+        rows [g*z, (g+1)*z); leftover pad rows get -clip (decode as bit 0,
+        never counted — the valid mask excludes them)."""
+        N, z, zp, P = self.N, self.z, self.zp, self.P
         B = llr.shape[-1]
-        if B % self.tb != 0:
-            raise ValueError(f"batch {B} not a multiple of kernel tile {self.tb}")
-        x = llr.reshape(N, z, B)
-        if zp > z:
-            x = jnp.pad(x, ((0, 0), (0, zp - z), (0, 0)),
+        if B % (self.tb * P) != 0:
+            raise ValueError(f"batch {B} not a multiple of kernel tile "
+                             f"{self.tb} x pack factor {P}")
+        bl = B // P
+        x = llr.reshape(N, z, P, bl).transpose(0, 2, 1, 3)
+        x = x.reshape(N, P * z, bl)
+        if zp > P * z:
+            x = jnp.pad(x, ((0, 0), (0, zp - P * z), (0, 0)),
                         constant_values=-self.cfg.clip_llr)
-        x = x.reshape(N * zp, B)
+        return x.reshape(N * zp, bl)
+
+    def _unpack_app(self, app_pad):
+        """[N*zp, B/P] -> [N*z, B], inverse of `_pack_llr`."""
+        N, z, zp, P = self.N, self.z, self.zp, self.P
+        bl = app_pad.shape[-1]
+        a = app_pad.reshape(N, zp, bl)[:, :P * z, :]
+        a = a.reshape(N, P, z, bl).transpose(0, 2, 1, 3)
+        return a.reshape(N * z, P * bl)
+
+    def _unpack_stats(self, rows):
+        """[>=T*P, B/P] stat rows -> [T, B] (row t*P+g = iteration t of
+        batch group g)."""
+        T, P = self.T, self.P
+        bl = rows.shape[-1]
+        return rows[:T * P].reshape(T, P * bl)
+
+    def _prep_inputs(self, stacked, llr):
+        x = self._pack_llr(llr)
         weights = []
         for kind, mode in zip(("cn", "ucn", "vn"), self.spec.sharing):
             if kind == "ucn" and not self.spec.ucn_enabled:
@@ -850,12 +933,11 @@ class FusedNMSKernel:
         """
         if self.mode != "stats":
             raise ValueError("decode_stats requires a mode='stats' kernel")
-        N, z, zp = self.N, self.z, self.zp
-        B = llr.shape[-1]
         x, weights = self._prep_inputs(stacked, llr)
         app_pad, err, nerr = self._call(x, *weights)
-        app = app_pad.reshape(N, zp, B)[:, :z, :].reshape(N * z, B)
-        return app, err[:self.T] > 0.5, nerr[:self.T].astype(jnp.int32)
+        return (self._unpack_app(app_pad),
+                self._unpack_stats(err) > 0.5,
+                self._unpack_stats(nerr).astype(jnp.int32))
 
     def decode_deploy(self, stacked: Dict[str, Optional[jnp.ndarray]],
                       llr: jnp.ndarray):
@@ -871,10 +953,11 @@ class FusedNMSKernel:
         """
         if self.mode != "deploy":
             raise ValueError("decode_deploy requires a mode='deploy' kernel")
-        N, z, zp = self.N, self.z, self.zp
-        B = llr.shape[-1]
+        P = self.P
         x, weights = self._prep_inputs(stacked, llr)
         app_pad, stat = self._call(x, *weights)
-        app = app_pad.reshape(N, zp, B)[:, :z, :].reshape(N * z, B)
-        return (app, stat[0] > 0.5, stat[1].astype(jnp.int32),
-                stat[2].astype(jnp.int32), stat[3] > 0.5)
+        app = self._unpack_app(app_pad)
+        bl = stat.shape[-1]
+        row = lambda i: stat[i * P:(i + 1) * P].reshape(P * bl)
+        return (app, row(0) > 0.5, row(1).astype(jnp.int32),
+                row(2).astype(jnp.int32), row(3) > 0.5)

@@ -54,8 +54,9 @@ def test_deploy_kernel_matches_scan(code_name, sharing, dec_t, snr, T):
                           mode="deploy")
     params = _random_params(spec, graph, jax.random.PRNGKey(1))
     chan = AWGNChannel(code, decoding_type=dec_t, q_bit=5)
+    B = 3 * kern.tb * kern.P   # packed kernels decode P codewords per lane
     llr = chan.sample(jax.random.PRNGKey(9),
-                      jnp.full((24,), float(code.snr_sigmas([snr])[0])))
+                      jnp.full((B,), float(code.snr_sigmas([snr])[0])))
 
     ref = dx.decode(params, llr, collect="deploy")
     app, wrong, nerr, iters, fail = kern.decode_deploy(

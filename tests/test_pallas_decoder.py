@@ -31,25 +31,30 @@ def _random_params(spec, graph, key):
 
 
 CASES = [
-    # (code, sharing, decoding_type, q_bit, n_iters)
-    ("wman_N0576_R34_z24", (3, 0, 3), 2, 5, 6),     # QMS, scalar weights
-    ("wman_N0576_R34_z24", (3, 3, 3), 2, 5, 5),     # QMS + UCN
-    ("wman_N0576_R34_z24", (2, 2, 2), 1, 5, 4),     # MS, per-node + UCN
-    ("wman_N0576_R34_z24", (1, 0, 0), 1, 5, 3),     # MS, per-edge CN weights
-    ("MACKAY_N96_K48", (3, 0, 3), 2, 5, 4),         # z=1 code, zp padding
-    ("wman_N0576_R34_z24", (0, 0, 0), 0, 5, 3),     # plain sum-product
-    ("802_11n_N648_R56_z27", (3, 0, 3), 2, 5, 3),   # z=27: padded sublane rolls
+    # (code, sharing, decoding_type, q_bit, n_iters, z_override)
+    ("wman_N0576_R34_z24", (3, 0, 3), 2, 5, 6, 0),  # QMS, scalar weights
+    ("wman_N0576_R34_z24", (3, 3, 3), 2, 5, 5, 0),  # QMS + UCN
+    ("wman_N0576_R34_z24", (2, 2, 2), 1, 5, 4, 0),  # MS, per-node + UCN
+    ("wman_N0576_R34_z24", (1, 0, 0), 1, 5, 3, 0),  # MS, per-edge CN weights
+    ("MACKAY_N96_K48", (3, 0, 3), 2, 5, 4, 0),      # z=1: sublane packing P=8
+    ("MACKAY_N96_K48", (3, 3, 3), 2, 5, 3, 0),      # z=1 packed + UCN parity
+    ("wman_N0576_R34_z24", (0, 0, 0), 0, 5, 3, 0),  # plain sum-product
+    ("802_11n_N648_R56_z27", (3, 0, 3), 2, 5, 3, 0),  # z=27: padded rolls
     ("5G_LDPC_R0.50_n_dec640_n512_k256_z32_s257_320",
-     (2, 2, 2), 2, 5, 3),                           # punctured/shortened code
-    ("wman_N0576_R34_z24", (4, 4, 5), 2, 5, 5),     # temporal sharing (JSAC
+     (2, 2, 2), 2, 5, 3, 0),                        # punctured/shortened code
+    ("wman_N0576_R34_z24", (4, 4, 5), 2, 5, 5, 0),  # temporal sharing (JSAC
     #   dynamic weight sharing): rows past fixed_iter reuse the pivot row
-    ("wman_N0576_R34_z24", (5, 5, 5), 1, 5, 4),
+    ("wman_N0576_R34_z24", (5, 5, 5), 1, 5, 4, 0),
+    ("wman_N0576_R34_z24", (3, 3, 3), 2, 5, 3, 4),  # z=4: P=2 packed groups
+    #   with nonzero shifts — group-confined rolls must not mix groups
+    ("wman_N0576_R34_z24", (3, 0, 3), 1, 5, 3, 3),  # z=3: P=2 packed groups
+    #   PLUS 2 leftover pad sublanes (prows=6 < zp=8)
 ]
 
 
-@pytest.mark.parametrize("code_name,sharing,dec,q,T", CASES)
-def test_fused_matches_scan(code_name, sharing, dec, q, T):
-    code = get_code(code_name)
+@pytest.mark.parametrize("code_name,sharing,dec,q,T,zov", CASES)
+def test_fused_matches_scan(code_name, sharing, dec, q, T, zov):
+    code = get_code(code_name, z=zov) if zov else get_code(code_name)
     graph = TannerGraph(code)
     temporal = any(s in (4, 5) for s in sharing)
     spec = WeightSpec(sharing=sharing, n_iters=T,
@@ -61,7 +66,8 @@ def test_fused_matches_scan(code_name, sharing, dec, q, T):
     key = jax.random.PRNGKey(42)
     params = _random_params(spec, graph, key)
     chan = AWGNChannel(code, decoding_type=dec, q_bit=q)
-    sigma = jnp.full((16,), float(code.snr_sigmas([2.5])[0]), jnp.float32)
+    B = 2 * kern.tb * kern.P   # packed kernels decode P codewords per lane
+    sigma = jnp.full((B,), float(code.snr_sigmas([2.5])[0]), jnp.float32)
     llr = chan.sample(jax.random.PRNGKey(7), sigma)
 
     ref = dec_scan.decode(params, llr, collect="stats")

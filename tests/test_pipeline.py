@@ -140,13 +140,15 @@ def test_fused_train_runtime_fallback(tmp_path, monkeypatch):
     from ldpc_error_floor_tpu.ops.pallas_train import FusedTrainKernel
 
     def cfg(tag):
+        # batch fills a packed kernel tile: MacKay z=1 packs P=8 batch
+        # groups per tile, so auto_tb needs >= tb*8 = 1024 lanes
         return ExperimentConfig(
             code="MACKAY_N96_K48",
             sharing=(3, 0, 3), sampling_type=0, decoding_type=1,
             iters_max=3, fixed_iter=0, fixed_init=0, iter_step=3,
             loss_type=0, opt_metric=1, etha_start=0.0, eval_loss=1,
-            learn_rate_start=5e-3, batch_size=256, training_num=512,
-            epochs=1, valid_flag=1, valid_num=256, snrs=[2.0], seed=7,
+            learn_rate_start=5e-3, batch_size=2048, training_num=4096,
+            epochs=1, valid_flag=1, valid_num=2048, snrs=[2.0], seed=7,
             out_dir=str(tmp_path / tag), input_dir=str(tmp_path / "Inputs"),
             out_prefix=tag)
 

@@ -128,10 +128,12 @@ def test_collection_pipeline_mesh_pallas(setup, tmp_path):
     dec_p = NMSDecoder(code, DecoderConfig(decoding_type=1, backend="pallas",
                                            pallas_tb=8), dec.spec,
                        graph=dec.graph)
-    h_p = UncorHarvester(dec_p, ch, batch=8 * 16, mesh=mesh, cap=16)
-    h_x = UncorHarvester(dec, ch, batch=8 * 16, mesh=mesh, cap=16)
+    # per-device batch must fill tb * P lanes (z=1 MacKay packs P=8 batch
+    # groups into the sublanes): 8 devices x (8 * 8) = 512
+    h_p = UncorHarvester(dec_p, ch, batch=8 * 64, mesh=mesh, cap=16)
+    h_x = UncorHarvester(dec, ch, batch=8 * 64, mesh=mesh, cap=16)
     key = jax.random.PRNGKey(11)
-    w_p = h_p.collect(params, 2.0, key, target_words=10 ** 9, max_frames=256)
-    w_x = h_x.collect(params, 2.0, key, target_words=10 ** 9, max_frames=256)
+    w_p = h_p.collect(params, 2.0, key, target_words=10 ** 9, max_frames=512)
+    w_x = h_x.collect(params, 2.0, key, target_words=10 ** 9, max_frames=512)
     assert w_p.shape[0] > 0
     np.testing.assert_array_equal(w_p, w_x)
