@@ -157,16 +157,20 @@ def main() -> int:
                                                          make_optimizer)
         tb_t = args.train_tb
         bt = args.train_batch
+        # production config (pipelines/train.py): static eta=0 loss +
+        # last-iteration APP emission window
         dec_t = NMSDecoder(code, DecoderConfig(decoding_type=2, q_bit=5,
                                                backend="pallas",
-                                               pallas_tb=tb_t),
+                                               pallas_tb=tb_t,
+                                               pallas_app_t0=T - 1),
                            spec, graph=graph)
         opt = make_optimizer(1e-3)
         params_t = init_weights(spec, graph)
         opt_state = opt.init(params_t)
         labels = jnp.zeros((code.n_full, bt), jnp.float32)
         tstep = make_train_step(dec_t, spec, loss_type=2, train_start=0,
-                                train_end=T, fixed_init=0, optimizer=opt)
+                                train_end=T, fixed_init=0, optimizer=opt,
+                                static_etha=0.0)
 
         @jax.jit
         def train_step(p, o, k):

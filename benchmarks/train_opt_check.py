@@ -47,8 +47,10 @@ def main() -> int:
 
     for tb in args.tb:
         for batch in args.batches:
+            # production config: static eta=0 loss -> last-iteration APP
+            # emission window (pipelines/train.py sets the same)
             dc = DecoderConfig(decoding_type=2, q_bit=5, backend="pallas",
-                               pallas_tb=tb)
+                               pallas_tb=tb, pallas_app_t0=T - 1)
             try:
                 dec = NMSDecoder(code, dc, spec, graph=graph)
                 params = init_weights(spec, graph)
@@ -59,7 +61,8 @@ def main() -> int:
                                         train_start=0, train_end=T,
                                         fixed_init=0, optimizer=opt,
                                         n_steps=n_steps, labels=labels,
-                                        channel=channel, sigmas=sigmas)
+                                        channel=channel, sigmas=sigmas,
+                                        static_etha=0.0)
 
                 def run(p, o, k):
                     return estep(jax.tree.map(jnp.copy, p),

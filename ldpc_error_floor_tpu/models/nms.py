@@ -73,6 +73,13 @@ class DecoderConfig:
     pallas_early_stop: bool = False  # stop a tile once all lanes have decoded
     #   correctly at least once; genie-FER/uncor exact, FER_last then refers
     #   to the stop iteration (see ops/pallas_decoder.py)
+    pallas_app_t0: int = 0  # fused-train APP window: the train kernel
+    #   emits/streams per-iteration APPs only for t >= pallas_app_t0
+    #   (collect='apps' then returns [T - t0, target*z, B]).  The training
+    #   pipeline sets t0 = T-1 when eta is statically 0 (last-iteration
+    #   loss): iterations below the window have structurally-zero APP
+    #   cotangents, so gradients are bit-identical while the APP stack
+    #   HBM traffic (~1.5 GB/step at batch 32k) drops by T x
 
     def __post_init__(self):
         if self.decoding_type not in (SP, MS, QMS, MS_RAW):
@@ -316,8 +323,7 @@ class NMSDecoder:
                                                     tb=cfg.pallas_tb,
                                                     mode="deploy")
             return DeployResult(*self._fused_deploy.decode_deploy(stacked, llr))
-        if cfg.backend == "pallas" and collect == "apps" \
-                and cfg.decoding_type != SP:
+        if cfg.backend == "pallas" and collect == "apps":
             # fused differentiable path (custom VJP; ops/pallas_train.py) —
             # the training-throughput twin of the stats kernel
             from ldpc_error_floor_tpu.ops.pallas_train import FusedTrainKernel

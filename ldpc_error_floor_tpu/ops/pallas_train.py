@@ -10,15 +10,19 @@ a custom-VJP pair of Pallas kernels:
   `ops/pallas_decoder.py`, but per iteration it also streams (a) the
   PRE-clip APP stack (the loss input after a host-side clip, and the
   backward's inclusive clip_tf_grad mask source — sparing the backward a
-  full weighting recompute) and (b) the C->V state *entering* each
-  iteration (the backward's recompute seed) to HBM with overlapped async
-  DMA.  HBM traffic: one LLR read + T state/APP tiles, vs the scan's
-  ~2T full-graph round trips.
-* **backward** — loops t = T-1..0, DMAs in the iteration-t entry state and
-  the APP cotangent, recomputes the iteration's forward intermediates in
-  VMEM (cheap: the forward is VPU-bound), and applies the exact gradient
-  semantics of the scan backend (`models/nms.py`), which were themselves
-  verified against *executed-reference* TF gradients
+  full weighting recompute), (b) the PRE-clip V->C messages of the
+  iteration's VN phase (the backward's clip-mask source and xc recompute
+  seed), and (c) per-check residuals — min1, min2, the extrinsic sign
+  product, and the UCN mask when enabled (round 5: these spare the
+  backward the sequential min1/min2 reduction, the VN-phase sum
+  recompute, and the whole UCN APP/parity recompute) — to HBM with
+  overlapped async DMA.  HBM traffic: one LLR read + T state/APP/residual
+  tiles, vs the scan's ~2T full-graph round trips.
+* **backward** — loops t = T-1..0, DMAs in the iteration-t pre-clip V->C
+  state, per-check residuals and the APP cotangent, re-derives the cheap
+  elementwise intermediates (|xc|, signs) in VMEM, and applies the exact
+  gradient semantics of the scan backend (`models/nms.py`), which were
+  themselves verified against *executed-reference* TF gradients
   (tests/test_reference_trace.py):
 
   - tie-splitting extrinsic-min VJP (`_ext_min_vjp_bwd` — the reference's
@@ -38,10 +42,11 @@ a custom-VJP pair of Pallas kernels:
 The channel LLR input gets a zero cotangent (training never differentiates
 the data), so the backward kernel emits only the [T, dim] weight grads.
 
-Supported: MS / QMS / MS_RAW decoding, all sharing modes 0-5 incl. UCN and
-temporal rows (temporal row-sharing is handled outside by the
-`stack_weights` take-VJP), 'scale' and 'offset' neural modes, systematic
-targets.  SP (tanh) training stays on the scan backend.
+Supported: SP / MS / QMS / MS_RAW decoding (SP fused since round 5 — the
+tanh/atanh check update with a prefix-product VJP, `_sp_check_bwd`), all
+sharing modes 0-5 incl. UCN and temporal rows (temporal row-sharing is
+handled outside by the `stack_weights` take-VJP), 'scale' and 'offset'
+neural modes, systematic targets.
 """
 
 from __future__ import annotations
@@ -72,9 +77,6 @@ class FusedTrainKernel(FusedNMSKernel):
     def __init__(self, graph: TannerGraph, cfg: DecoderConfig,
                  spec: WeightSpec, tb: int = 128,
                  interpret: Optional[bool] = None):
-        if cfg.decoding_type == SP:
-            raise NotImplementedError(
-                "SP training uses the scan backend (backend='xla')")
         # prescale=False: the train kernels keep messages in real LLR units
         # (their VJP residuals and cotangents are defined in LLR units)
         super().__init__(graph, cfg, spec, tb=tb, interpret=interpret,
@@ -115,6 +117,39 @@ class FusedTrainKernel(FusedNMSKernel):
                 self.dims[kind] = 1
             else:
                 self.dims[kind] = 0
+        # per-check residual stream rows: m1, m2, neg_tot (+ u_mask).  SP
+        # (round 5: fused tanh/atanh training) has no min1/min2 reduction
+        # to checkpoint — it streams only the UCN masks when enabled
+        if cfg.decoding_type == SP:
+            self.cres_rows = self.M if spec.ucn_enabled else 0
+        else:
+            self.cres_rows = (4 if spec.ucn_enabled else 3) * self.M
+        # Round-5 stream compression: the train pair is HBM-DMA-bound
+        # (roofline: ~2.5 MB/iteration/grid-step ~ 340 GB/s), and under
+        # QMS every streamed quantity is a grid point — exactly
+        # representable in bf16.  The v2c checkpoint encodes (xq, STE
+        # inside-bit) in ONE bf16 lane: venc = xq when |pre| <= clip
+        # (inclusive, the clip_tf_grad mask), else sign(pre) * 2*clip;
+        # decode: inside = |venc| <= clip, xq = clamp(venc, +-clip).
+        # Exact: QMS grids are halves <= 15.5 and 2*clip <= 31, all
+        # bf16-representable.  The APP stream is bf16 when its pre-clip
+        # values are provably exact halves: |app| <= (Dv_max+1)*clip < 128
+        # (bf16 spacing is 0.5 up to 128).
+        self.enc_hist = cfg.decoding_type == QMS
+        if self.enc_hist:
+            _, clip_q = qms_grid(cfg.q_bit)
+            self.enc_clip = clip_q
+            self.enc_marker = 2.0 * clip_q
+            dv_max = max(len(v) for v in self.vn_edges)
+            self.enc_app = (dv_max + 1) * clip_q < 128.0
+        else:
+            self.enc_app = False
+        # APP emission window (DecoderConfig.pallas_app_t0): iterations
+        # below it stream no APPs and read no APP cotangents — their
+        # cotangent is structurally zero when the loss only covers the
+        # window, so gradients are unchanged
+        self.app_t0 = min(max(int(cfg.pallas_app_t0), 0), self.T - 1)
+        self.Ta = self.T - self.app_t0
         self._vjp = self._build_vjp()
 
     # ----- shared forward recompute pieces -----------------------------------
@@ -196,6 +231,126 @@ class FusedTrainKernel(FusedNMSKernel):
         mag = jnp.where(amag_e == m1, m2, m1)
         return jnp.where(jnp.abs(mag) <= _EPS_MSG, mag - _EPS_MSG, mag)
 
+    def _sp_check_bwd(self, t, i, edges, xc_of, gc_scr, u_i, w_cn_ref,
+                      w_ucn_ref, acc):
+        """Backward of one SP (tanh/atanh) check (round 5: fused SP
+        training).  Recomputes the extrinsic tanh-product forward
+        (prefix/suffix arrays, exactly the fused forward's op order), then
+        applies the scan backend's gradient semantics (models/nms.py step 5
+        SP branch, itself anchored to executed-reference TF gradients):
+
+        * the zero->1 map on tanh outputs is ADDITIVE in the scan backend
+          (``tt + (tt == 0)``), so its gradient is 1 — not a where-mask;
+        * ``jnp.clip`` on the product: gradient 1 strictly inside the
+          bounds, 1/2 at an exactly-hit bound (lax.max/min tie), 0 outside;
+        * d(-2*atanh(p))/dp = -2/(1-p^2);
+        * |out|: gradient +1 at exactly 0 (jnp.abs's VJP);
+        * sign(out) is piecewise-constant (gradient 0).
+
+        Writes each edge's xc cotangent into gc_scr (VN alignment) and
+        returns the deferred per-check weight-grad tile for per-check /
+        scalar sharing (None for cn_mode 0; per-edge modes accumulate via
+        ``acc`` directly)."""
+        cfg = self.cfg
+        cn_mode, ucn_mode, _ = self.spec.sharing
+        ucn = self.spec.ucn_enabled
+        offset = cfg.neural_mode == "offset"
+        msg_clip = cfg.clip_llr
+        deg = len(edges)
+        lo, hi = -1.0 + 1e-7, 1.0 - 1e-7
+        xs = [xc_of(e) for e in edges]
+        tt_raw = [jnp.tanh(-0.5 * x) for x in xs]
+        tt = [jnp.where(v == 0.0, 1.0, v) for v in tt_raw]
+        F = [None] * deg   # prefix products of tt[:k]
+        Bv = [None] * deg  # suffix products of tt[k+1:]
+        a = None
+        for k in range(deg):
+            F[k] = a
+            a = tt[k] if a is None else a * tt[k]
+        a = None
+        for k in range(deg - 1, -1, -1):
+            Bv[k] = a
+            a = tt[k] if a is None else tt[k] * a
+        ones = jnp.ones_like(tt[0])
+        Fk = [f if f is not None else ones for f in F]
+        Bk = [b if b is not None else ones for b in Bv]
+        gw_check = None
+        gF = [None] * deg
+        gB = [None] * deg
+        g_tt = [None] * deg
+        for k, e in enumerate(edges):
+            p = Fk[k] * Bk[k]
+            pc = jnp.clip(p, lo, hi)
+            out = -2.0 * jnp.arctanh(pc)
+            mag = jnp.abs(out)
+            sgn_out = jnp.sign(out)
+            g_c2vnew = self._roll(gc_scr[e], self.edge_shift[e])
+            g_wmag = g_c2vnew * sgn_out
+            if cn_mode > 0:
+                w = self._read_cn_w(w_cn_ref, t, i, e, cn_mode)
+                if ucn:
+                    wu = self._read_cn_w(w_ucn_ref, t, i, e, ucn_mode)
+                    w_eff = w * (1.0 - u_i) + wu * u_i
+                else:
+                    w_eff = w
+                relu_in = mag - w_eff if offset else mag * w_eff
+            else:
+                w_eff = None
+                relu_in = mag
+            # relu' * inclusive clip mask collapse (0 < r <= clip), as in
+            # the min-sum backward
+            qr = jnp.logical_and(relu_in > 0.0, relu_in <= msg_clip) \
+                .astype(jnp.float32)
+            g_in = g_wmag * qr
+            if w_eff is None:
+                g_mag = g_in
+                g_w_tile = None
+            elif offset:
+                g_mag = g_in
+                g_w_tile = -g_in
+            else:
+                g_mag = g_in * w_eff
+                g_w_tile = g_in * mag
+            if g_w_tile is not None:
+                if cn_mode in (1, 4):
+                    if ucn:
+                        s_u = jnp.sum(g_w_tile * u_i)
+                        acc("cn", self.cn_order[e], jnp.sum(g_w_tile) - s_u)
+                        acc("ucn", self.cn_order[e], s_u)
+                    else:
+                        acc("cn", self.cn_order[e], jnp.sum(g_w_tile))
+                else:
+                    gw_check = g_w_tile if gw_check is None \
+                        else gw_check + g_w_tile
+            g_out = g_mag * jnp.where(out >= 0.0, 1.0, -1.0)
+            g_pc = g_out * (-2.0 / (1.0 - pc * pc))
+            in_hi = 0.5 * ((p < hi).astype(jnp.float32)
+                           + (p <= hi).astype(jnp.float32))
+            in_lo = 0.5 * ((p > lo).astype(jnp.float32)
+                           + (p >= lo).astype(jnp.float32))
+            g_p = g_pc * in_hi * in_lo
+            gF[k] = g_p * Bk[k]
+            gB[k] = g_p * Fk[k]
+        # reverse the prefix recurrence F[k] = F[k-1] * tt[k-1]
+        for k in range(deg - 1, 0, -1):
+            gF[k - 1] = gF[k - 1] + gF[k] * tt[k - 1]
+            c = gF[k] * Fk[k - 1]
+            g_tt[k - 1] = c if g_tt[k - 1] is None else g_tt[k - 1] + c
+        # reverse the suffix recurrence B[k] = B[k+1] * tt[k+1]
+        for k in range(deg - 1):
+            gB[k + 1] = gB[k + 1] + gB[k] * tt[k + 1]
+            c = gB[k] * Bk[k + 1]
+            g_tt[k + 1] = c if g_tt[k + 1] is None else g_tt[k + 1] + c
+        for k, e in enumerate(edges):
+            if g_tt[k] is None:           # deg == 1: empty product
+                gc_scr[e] = jnp.zeros_like(ones)
+                continue
+            # additive zero-map: gradient 1; d tanh(-x/2)/dx on the RAW
+            # tanh value
+            g_xc = g_tt[k] * (-0.5) * (1.0 - tt_raw[k] * tt_raw[k])
+            gc_scr[e] = self._unroll(g_xc, self.edge_shift[e])
+        return gw_check
+
     # ----- forward kernel ------------------------------------------------------
     #
     # VMEM design (round 4, shared with ops/pallas_decoder.py): the per-edge
@@ -215,25 +370,34 @@ class FusedTrainKernel(FusedNMSKernel):
         qms = cfg.decoding_type == QMS
         nudge = cfg.decoding_type in (MS, QMS)
 
+        M, R = self.M, self.cres_rows
+        sp = cfg.decoding_type == SP
         it = iter(refs)
         llr_ref = next(it)
         w_cn_ref = next(it) if cn_mode > 0 else None
         w_ucn_ref = next(it) if ucn else None
         w_vn_ref = next(it) if vn_mode > 0 else None
+        enc = self.enc_hist
         apps_ref = next(it)   # ANY: [T, target, zp, B]
-        hist_ref = next(it)   # ANY: [T, E, zp, B]
-        c2v_scr = next(it)    # VMEM [E, zp, TB] ([2, E, ...] when fwd_pp)
+        hist_ref = next(it)   # ANY: [T, E, zp, B] v2c checkpoint — raw f32
+        #   pre-clip values, or the bf16 (xq, inside) encoding when enc
+        cres_ref = next(it) if R else None  # ANY: [T, R, zp, B] residuals
+        c2v_scr = next(it)    # VMEM [E, zp, TB] edge state ([2, E, ...]
+        #   when fwd_pp and not enc — the enc path streams from henc_scr,
+        #   so its state stays single-buffer/in-place like the decode kernel)
         app_scr = next(it)    # VMEM [target, zp, TB] ([2, ...] when fwd_pp)
+        cres_scr = next(it) if R else None  # VMEM [R, zp, TB] ([2, ...] pp)
+        henc_scr = next(it) if enc else None  # VMEM bf16 [(2,)? E, zp, TB]
         hist_sem = next(it)
         app_sem = next(it)
-
+        cres_sem = next(it) if R else None
         b = pl.program_id(0)
         col = pl.multiple_of(b * TB, TB)
         self._llr_tile_fn = lambda j: llr_ref[j * zp:(j + 1) * zp, :]
 
         pp = self.fwd_pp  # ping-pong buffers: DMA overlaps the iteration
 
-        if pp:
+        if pp and not enc:
             c2v_scr[0] = jnp.zeros((E, zp, TB), jnp.float32)
         else:
             c2v_scr[...] = jnp.zeros((E, zp, TB), jnp.float32)
@@ -243,40 +407,53 @@ class FusedTrainKernel(FusedNMSKernel):
                 buf, hist_ref.at[t, :, :, pl.ds(col, TB)], sem)
 
         def app_dma(buf, t, sem):
+            # apps_ref rows are indexed relative to the emission window
+            ti = jnp.maximum(t - self.app_t0, 0) \
+                if not isinstance(t, int) else t - self.app_t0
             return pltpu.make_async_copy(
-                buf, apps_ref.at[t, :, :, pl.ds(col, TB)], sem)
+                buf, apps_ref.at[ti, :, :, pl.ds(col, TB)], sem)
+
+        def cres_dma(buf, t, sem):
+            return pltpu.make_async_copy(
+                buf, cres_ref.at[t, :, :, pl.ds(col, TB)], sem)
 
         def body(t, _):
-            if pp:
-                # entry state lives in `cur`, untouched all iteration, so
-                # its checkpoint DMA overlaps the FULL compute; the VN
-                # phase writes into `nxt` (= cur of t+1)
-                slot = t % 2
+            slot = t % 2
+            if pp and not enc:
+                # `cur` holds the entry C->V state; the VN phase rewrites
+                # it in place with the PRE-clip V->C messages (the round-5
+                # backward residual) and writes the post-clip check-aligned
+                # messages into `nxt`; cur's checkpoint DMA then overlaps
+                # the CN + APP phases plus the next iteration's VN reads
                 cur = c2v_scr.at[slot]
                 nxt = c2v_scr.at[1 - slot]
-                app_buf = app_scr.at[slot]
-                hist_dma(cur, t, hist_sem.at[slot]).start()
             else:
+                # enc: the checkpoint streams from the bf16 henc staging
+                # buffer, so the f32 state updates in place (decode-kernel
+                # style) and needs no second buffer
                 cur = nxt = c2v_scr
+            if pp:
+                app_buf = app_scr.at[slot]
+                cres_buf = cres_scr.at[slot] if R else None
+                henc_buf = henc_scr.at[slot] if enc else None
+            else:
                 app_buf = app_scr
-                hist_dma(cur, t, hist_sem).start()
+                cres_buf = cres_scr
+                henc_buf = henc_scr
 
             c2v_read = lambda e: cur[e]
             _, llr_w = self._llr_weighted(self._llr_tile_fn, w_vn_ref, t)
             u_mask = self._ucn_masks(llr_w, c2v_read, t)
 
-            if pp:
-                # before writing nxt: the checkpoint of t-1 (same buffer)
-                # must have landed
-                @pl.when(t > 0)
+            if enc and pp:
+                # this slot's henc buffer was last DMA'd at t-2
+                @pl.when(t > 1)
                 def _():
-                    hist_dma(nxt, t - 1, hist_sem.at[1 - slot]).wait()
-            else:
-                # the checkpoint must land before the in-place VN phase
-                # overwrites the state
-                hist_dma(cur, t, hist_sem).wait()
+                    hist_dma(henc_buf, t - 2, hist_sem.at[slot]).wait()
 
-            # VN phase: entry C->V (cur) -> check-aligned V->C (nxt)
+            # VN phase: entry C->V -> check-aligned post-clip V->C, with
+            # the v2c checkpoint captured along the way (enc: bf16
+            # (xq, inside) encoding into henc; else: raw pre into cur)
             for j in range(N):
                 edges_j = self.vn_edges[j]
                 s_j = None
@@ -284,22 +461,110 @@ class FusedTrainKernel(FusedNMSKernel):
                     c = cur[e]
                     s_j = c if s_j is None else s_j + c
                 tot = llr_w[j] if s_j is None else llr_w[j] + s_j
-                vs = []
-                for e in edges_j:
-                    v = self._mag_clip(tot - cur[e])
+                pre = [tot - cur[e] for e in edges_j]
+                if enc:
+                    vs = []
+                    for e, pv in zip(edges_j, pre):
+                        xq = self._quantize(pv)
+                        venc = jnp.where(jnp.abs(pv) <= self.enc_clip, xq,
+                                         jnp.sign(pv) * self.enc_marker)
+                        henc_buf[e] = venc.astype(jnp.bfloat16)
+                        v = jnp.where(xq == 0.0, _EPS_MSG, xq)
+                        vs.append(self._roll(v, self.edge_shift[e]))
+                    for e, v in zip(edges_j, vs):
+                        nxt[e] = v
+                elif pp:
+                    for e, pv in zip(edges_j, pre):
+                        cur[e] = pv
+                        v = self._mag_clip(pv)
+                        if nudge:
+                            v = jnp.where(v == 0.0, _EPS_MSG, v)
+                        nxt[e] = self._roll(v, self.edge_shift[e])
+                else:
+                    for e, pv in zip(edges_j, pre):
+                        cur[e] = pv
+
+            if enc:
+                if pp:
+                    hist_dma(henc_buf, t, hist_sem.at[slot]).start()
+                else:
+                    henc_d = hist_dma(henc_buf, t, hist_sem)
+                    henc_d.start()
+            elif pp:
+                # before the CN phase overwrites nxt: the v2c checkpoint of
+                # t-1 (same buffer) must have landed
+                @pl.when(t > 0)
+                def _():
+                    hist_dma(nxt, t - 1, hist_sem.at[1 - slot]).wait()
+                hist_dma(cur, t, hist_sem.at[slot]).start()
+            else:
+                # single buffer: stream the pre-clip v2c now, then apply
+                # clip/nudge/roll in place for the CN phase
+                dma = hist_dma(cur, t, hist_sem)
+                dma.start()
+                dma.wait()
+                for e in range(E):
+                    v = self._mag_clip(c2v_scr[e])
                     if nudge:
                         v = jnp.where(v == 0.0, _EPS_MSG, v)
-                    vs.append(self._roll(v, self.edge_shift[e]))
-                for e, v in zip(edges_j, vs):
-                    nxt[e] = v
+                    c2v_scr[e] = self._roll(v, self.edge_shift[e])
 
-            # CN phase: min1/min2/sign + weighting + route back (in place
-            # within nxt); per-check weight modes run the weighting chain
-            # once per check on the min1/min2 candidates (_cn_weight_store)
-            for i in range(self.M):
+            # CN phase: min1/min2/sign (SP: extrinsic tanh products) +
+            # weighting + route back (in place within nxt); per-check
+            # weight modes run the weighting chain once per check on the
+            # min1/min2 candidates (_cn_weight_store).  The reduction
+            # results are captured into the residual stream.
+            if pp and R:
+                # this slot's residual buffer was last DMA'd at t-2
+                @pl.when(t > 1)
+                def _():
+                    cres_dma(cres_buf, t - 2, cres_sem.at[slot]).wait()
+            for i in range(M):
                 edges = self.cn_edges[i]
+                if sp:
+                    # sum-product check update (the decode kernel's SP
+                    # branch, ops/pallas_decoder.py:_kernel) — the backward
+                    # recomputes the tanh prefixes from the streamed v2c,
+                    # so only the UCN mask is checkpointed
+                    if ucn:
+                        cres_buf[i] = u_mask[i]
+                    xs = [nxt[e] for e in edges]
+                    tt = [jnp.where(v == 0.0, 1.0, v) for v in
+                          (jnp.tanh(-0.5 * x) for x in xs)]
+                    deg = len(edges)
+                    fwd = [None] * deg
+                    bwd = [None] * deg
+                    acc_p = None
+                    for k in range(deg):
+                        fwd[k] = acc_p
+                        acc_p = tt[k] if acc_p is None else acc_p * tt[k]
+                    acc_p = None
+                    for k in range(deg - 1, -1, -1):
+                        bwd[k] = acc_p
+                        acc_p = tt[k] if acc_p is None else tt[k] * acc_p
+                    for k, e in enumerate(edges):
+                        if fwd[k] is None:
+                            p = bwd[k] if bwd[k] is not None \
+                                else jnp.ones_like(tt[k])
+                        elif bwd[k] is None:
+                            p = fwd[k]
+                        else:
+                            p = fwd[k] * bwd[k]
+                        p = jnp.clip(p, -1.0 + 1e-7, 1.0 - 1e-7)
+                        out = -2.0 * jnp.arctanh(p)
+                        y = self._weight_edge(
+                            t, i, e, jnp.abs(out), jnp.sign(out),
+                            w_cn_ref, w_ucn_ref,
+                            u_mask[i] if ucn else None)
+                        nxt[e] = self._unroll(y, self.edge_shift[e])
+                    continue
                 m1, m2, sgn_tot, amag, sgn = self._minsum_check(
                     edges, lambda e: nxt[e])
+                cres_buf[i] = m1
+                cres_buf[M + i] = m2
+                cres_buf[2 * M + i] = -sgn_tot
+                if ucn:
+                    cres_buf[3 * M + i] = u_mask[i]
 
                 def store(e, y):
                     nxt[e] = self._unroll(y, self.edge_shift[e])
@@ -307,47 +572,77 @@ class FusedTrainKernel(FusedNMSKernel):
                 self._cn_weight_store(
                     t, i, edges, m1, m2, -sgn_tot, amag, sgn,
                     w_cn_ref, w_ucn_ref, u_mask[i] if ucn else None, store)
+            cres_d = None
+            if R and pp:
+                cres_dma(cres_buf, t, cres_sem.at[slot]).start()
+            elif R:
+                cres_d = cres_dma(cres_buf, t, cres_sem)
+                cres_d.start()
 
-            # APP phase (pre-clip, streamed out)
-            if pp:
-                # this slot's APP buffer was last DMA'd at t-2
-                @pl.when(t > 1)
-                def _():
-                    app_dma(app_buf, t - 2, app_sem.at[slot]).wait()
-            for j in range(N):
-                app_j = None
-                for e in self.vn_edges[j]:
-                    c = nxt[e]
-                    app_j = c if app_j is None else app_j + c
-                base = self._llr_tile_fn(j)
-                if qms:
-                    base = self._quantize(base)
-                app_j = base if app_j is None else base + app_j
-                # the PRE-clip APP is streamed out: the wrapper applies the
-                # clip for the primal output, and the backward derives the
-                # inclusive clip_tf_grad mask from it directly — sparing
-                # the backward kernel the whole weighting recompute it
-                # otherwise needs just to rebuild this value
-                if j < self.target:
-                    app_buf[j] = app_j
-            if pp:
-                app_dma(app_buf, t, app_sem.at[slot]).start()
-            else:
-                dma = app_dma(app_buf, t, app_sem)
-                dma.start()
-                dma.wait()
+            # APP phase (pre-clip, streamed out for the emission window
+            # t >= app_t0 only — below it no APP cotangent can arrive, so
+            # neither the sums nor the stream are needed)
+            t0 = self.app_t0
+
+            @pl.when(t >= t0)
+            def _app_phase():
+                if pp:
+                    # this slot's APP buffer was last DMA'd at t-2
+                    @pl.when(t - 2 >= t0)
+                    def _():
+                        app_dma(app_buf, t - 2, app_sem.at[slot]).wait()
+                for j in range(N):
+                    app_j = None
+                    for e in self.vn_edges[j]:
+                        c = nxt[e]
+                        app_j = c if app_j is None else app_j + c
+                    base = self._llr_tile_fn(j)
+                    if qms:
+                        base = self._quantize(base)
+                    app_j = base if app_j is None else base + app_j
+                    # the PRE-clip APP is streamed out: the wrapper applies
+                    # the clip for the primal output, and the backward
+                    # derives the inclusive clip_tf_grad mask from it
+                    # directly — sparing the backward kernel the whole
+                    # weighting recompute it otherwise needs just to
+                    # rebuild this value
+                    if j < self.target:
+                        app_buf[j] = app_j.astype(jnp.bfloat16) \
+                            if self.enc_app else app_j
+                if pp:
+                    app_dma(app_buf, t, app_sem.at[slot]).start()
+                else:
+                    dma = app_dma(app_buf, t, app_sem)
+                    dma.start()
+                    dma.wait()
+            if not pp:
+                if cres_d is not None:
+                    cres_d.wait()
+                if enc:
+                    henc_d.wait()
             return 0
 
         jax.lax.fori_loop(0, T, body, 0)
         if pp:
-            # drain the checkpoints/APPs still in flight
-            hist_dma(c2v_scr.at[(T - 1) % 2], T - 1,
+            # drain the checkpoints/APPs/residuals still in flight
+            hsrc = henc_scr if enc else c2v_scr
+            hist_dma(hsrc.at[(T - 1) % 2], T - 1,
                      hist_sem.at[(T - 1) % 2]).wait()
             if T > 1:
-                app_dma(app_scr.at[(T - 2) % 2], T - 2,
-                        app_sem.at[(T - 2) % 2]).wait()
+                if enc:
+                    hist_dma(hsrc.at[(T - 2) % 2], T - 2,
+                             hist_sem.at[(T - 2) % 2]).wait()
+                if T - 2 >= self.app_t0:
+                    app_dma(app_scr.at[(T - 2) % 2], T - 2,
+                            app_sem.at[(T - 2) % 2]).wait()
+                if R:
+                    cres_dma(cres_scr.at[(T - 2) % 2], T - 2,
+                             cres_sem.at[(T - 2) % 2]).wait()
             app_dma(app_scr.at[(T - 1) % 2], T - 1,
                     app_sem.at[(T - 1) % 2]).wait()
+            if R:
+                cres_dma(cres_scr.at[(T - 1) % 2], T - 1,
+                         cres_sem.at[(T - 1) % 2]).wait()
 
     # ----- backward kernel ------------------------------------------------------
 
@@ -361,28 +656,34 @@ class FusedTrainKernel(FusedNMSKernel):
         msg_clip = clip_q if qms else cfg.clip_llr
         offset = cfg.neural_mode == "offset"
 
+        M, R = self.M, self.cres_rows
+        sp = cfg.decoding_type == SP
+        enc = self.enc_hist
         it = iter(refs)
         llr_ref = next(it)
         w_cn_ref = next(it) if cn_mode > 0 else None
         w_ucn_ref = next(it) if ucn else None
         w_vn_ref = next(it) if vn_mode > 0 else None
-        hist_ref = next(it)   # ANY: [T, E, zp, B]
+        hist_ref = next(it)   # ANY: [T, E, zp, B] v2c checkpoint (VN-aligned)
+        cres_ref = next(it) if R else None  # ANY: [T, R, zp, B] residuals
         pre_ref = next(it)    # ANY: [T, target, zp, B] pre-clip APPs
         gapp_ref = next(it)   # ANY: [T, target, zp, B]
         g_outs = {}
         for kind in ("cn", "ucn", "vn"):
             if self.dims[kind]:
                 g_outs[kind] = next(it)   # VMEM [Tp, dimp]
-        # with bwd_db the three landing buffers are double-buffered
+        # with bwd_db the four landing buffers are double-buffered
         # ([2, ...]) so the next iteration's input DMAs prefetch during
         # compute; each slot's content is consumed (and clobbered in
         # place) during its own iteration
         db = self.bwd_db
-        c2v_bufs = next(it)   # VMEM [(2,)? E, zp, TB]: entry state of iter t
+        c2v_bufs = next(it)   # VMEM [(2,)? E, zp, TB]: pre-clip v2c of iter t
         gc_scr = next(it)     # VMEM [E, zp, TB]: carry cotangent (VN-aligned)
+        cres_bufs = next(it) if R else None  # VMEM [(2,)? R, zp, TB]
         pre_bufs = next(it)   # VMEM [(2,)? target, zp, TB]
         gapp_bufs = next(it)  # VMEM [(2,)? target, zp, TB]
         in_sem = next(it)
+        cres_sem = next(it) if R else None
         pre_sem = next(it)
         gin_sem = next(it)
 
@@ -390,28 +691,45 @@ class FusedTrainKernel(FusedNMSKernel):
         col = pl.multiple_of(b * TB, TB)
         self._llr_tile_fn = lambda j: llr_ref[j * zp:(j + 1) * zp, :]
 
-        def in_dmas(slot, t):
-            """The three input copies for iteration t into buffer `slot`
-            (slot=None: single-buffer layout)."""
+        def _bufs(slot):
             if slot is None:
-                bufs = (c2v_bufs, pre_bufs, gapp_bufs)
-                sems = (in_sem, pre_sem, gin_sem)
-            else:
-                bufs = (c2v_bufs.at[slot], pre_bufs.at[slot],
-                        gapp_bufs.at[slot])
-                sems = (in_sem.at[slot], pre_sem.at[slot],
-                        gin_sem.at[slot])
-            return (
+                return ((c2v_bufs, cres_bufs, pre_bufs, gapp_bufs),
+                        (in_sem, cres_sem, pre_sem, gin_sem))
+            return ((c2v_bufs.at[slot],
+                     cres_bufs.at[slot] if R else None,
+                     pre_bufs.at[slot], gapp_bufs.at[slot]),
+                    (in_sem.at[slot],
+                     cres_sem.at[slot] if R else None,
+                     pre_sem.at[slot], gin_sem.at[slot]))
+
+        def in_dmas(slot, t):
+            """The always-on input copies (v2c checkpoint + residuals) for
+            iteration t into buffer `slot` (None: single-buffer layout)."""
+            bufs, sems = _bufs(slot)
+            dmas = [pltpu.make_async_copy(
+                hist_ref.at[t, :, :, pl.ds(col, TB)], bufs[0], sems[0])]
+            if R:
+                dmas.append(pltpu.make_async_copy(
+                    cres_ref.at[t, :, :, pl.ds(col, TB)], bufs[1], sems[1]))
+            return dmas
+
+        def app_dmas(slot, t):
+            """Pre-clip APP + cotangent copies — only iterations inside the
+            emission window (t >= app_t0) have them; rows are indexed
+            relative to the window."""
+            bufs, sems = _bufs(slot)
+            ti = jnp.maximum(t - self.app_t0, 0)
+            return [
                 pltpu.make_async_copy(
-                    hist_ref.at[t, :, :, pl.ds(col, TB)], bufs[0], sems[0]),
+                    pre_ref.at[ti, :, :, pl.ds(col, TB)], bufs[2], sems[2]),
                 pltpu.make_async_copy(
-                    pre_ref.at[t, :, :, pl.ds(col, TB)], bufs[1], sems[1]),
-                pltpu.make_async_copy(
-                    gapp_ref.at[t, :, :, pl.ds(col, TB)], bufs[2], sems[2]),
-            )
+                    gapp_ref.at[ti, :, :, pl.ds(col, TB)], bufs[3], sems[3]),
+            ]
 
         if db:
-            for dma in in_dmas(0, T - 1):   # prologue: prefetch iter T-1
+            # prologue: prefetch iter T-1 (always inside the APP window —
+            # app_t0 <= T-1 by construction)
+            for dma in in_dmas(0, T - 1) + app_dmas(0, T - 1):
                 dma.start()
 
         @pl.when(b == 0)
@@ -433,6 +751,7 @@ class FusedTrainKernel(FusedNMSKernel):
 
         def body(i_loop, _):
             t = T - 1 - i_loop
+            t0 = self.app_t0
             if db:
                 slot = i_loop % 2
                 # prefetch the NEXT iteration's inputs into the other slot
@@ -443,48 +762,70 @@ class FusedTrainKernel(FusedNMSKernel):
                 def _():
                     for dma in in_dmas(1 - slot, tn):
                         dma.start()
+
+                @pl.when(jnp.logical_and(i_loop + 1 < T, tn >= t0))
+                def _():
+                    for dma in app_dmas(1 - slot, tn):
+                        dma.start()
                 for dma in in_dmas(slot, t):
                     dma.wait()
+
+                @pl.when(t >= t0)
+                def _():
+                    for dma in app_dmas(slot, t):
+                        dma.wait()
                 c2v_scr = c2v_bufs.at[slot]
+                cres_scr = cres_bufs.at[slot] if R else None
                 pre_scr = pre_bufs.at[slot]
                 gapp_scr = gapp_bufs.at[slot]
             else:
-                c2v_scr, pre_scr, gapp_scr = c2v_bufs, pre_bufs, gapp_bufs
+                c2v_scr, cres_scr, pre_scr, gapp_scr = (
+                    c2v_bufs, cres_bufs, pre_bufs, gapp_bufs)
                 for dma in in_dmas(None, t):
                     dma.start()
+
+                @pl.when(t >= t0)
+                def _():
+                    for dma in app_dmas(None, t):
+                        dma.start()
                 for dma in in_dmas(None, t):
                     dma.wait()
 
-            c2v_read = lambda e: c2v_scr[e]
+                @pl.when(t >= t0)
+                def _():
+                    for dma in app_dmas(None, t):
+                        dma.wait()
 
-            # ---- recompute iteration-t forward intermediates ----
+            # ---- forward intermediates: cheap/elementwise only ----
+            # The streamed hist is the VN-aligned v2c checkpoint (kept
+            # through the whole backward — both the xc derivation and the
+            # final clip-mask phase read it); min1/min2/neg_tot and the
+            # UCN masks come from the residual stream, so the backward
+            # runs NO VN sum phase, NO sequential min reduction and NO
+            # UCN APP/parity recompute (round-4 VERDICT item 3).
             llr_pre, llr_w = self._llr_weighted(self._llr_tile_fn,
                                                 w_vn_ref, t)
-            u_mask = self._ucn_masks(llr_w, c2v_read, t)
 
-            # ---- VN recompute phase (in place): c2v_scr[e] transitions
-            # from the iteration's ENTRY C->V state to the VN-aligned
-            # PRE-clip V->C message v2c_pre[e] (kept through the whole
-            # backward — both the CN phase's xc recompute and the final
-            # clip-mask phase read it).  Same read-before-overwrite
-            # discipline as the forward kernels.
-            for j in range(N):
-                edges_j = self.vn_edges[j]
-                s_j = None
-                for e in edges_j:
-                    c = c2v_scr[e]
-                    s_j = c if s_j is None else s_j + c
-                tot_j = llr_w[j] if s_j is None else llr_w[j] + s_j
-                vs = [tot_j - c2v_scr[e] for e in edges_j]
-                for e, v in zip(edges_j, vs):
-                    c2v_scr[e] = v
+            def v2c_dec(e):
+                """(value-for-mask, xq-or-pre): under enc the bf16 word
+                decodes to the STE inside-test value and the post-quantize
+                message; otherwise both are the raw pre-clip value."""
+                if not enc:
+                    v = c2v_scr[e]
+                    return v, v
+                v = c2v_scr[e].astype(jnp.float32)
+                return v, jnp.clip(v, -self.enc_clip, self.enc_clip)
 
             def xc_of(e):
-                """Check-aligned post-clip/nudge V->C message recomputed
-                from the in-place v2c_pre (exactly the forward's op order)."""
-                v = self._mag_clip(c2v_scr[e])
-                if cfg.decoding_type in (MS, QMS):
-                    v = jnp.where(v == 0.0, _EPS_MSG, v)
+                """Check-aligned post-clip/nudge V->C message derived from
+                the streamed checkpoint (exactly the forward's op order)."""
+                if enc:
+                    xq = v2c_dec(e)[1]
+                    v = jnp.where(xq == 0.0, _EPS_MSG, xq)
+                else:
+                    v = self._mag_clip(c2v_scr[e])
+                    if cfg.decoding_type in (MS, QMS):
+                        v = jnp.where(v == 0.0, _EPS_MSG, v)
                 return self._roll(v, self.edge_shift[e])
 
             # ---- APP cotangent folded into the carry (in place) ----
@@ -493,14 +834,19 @@ class FusedTrainKernel(FusedNMSKernel):
             # pre-clip APP was streamed out by the forward kernel, so the
             # mask is a direct compare — no weighting recompute needed.
             # gc_scr[e] then holds the full cotangent wrt y_e (VN-aligned).
-            for j in range(self.target):
-                app_pre = pre_scr[j]
-                inside = jnp.logical_and(
-                    app_pre >= -cfg.clip_llr,
-                    app_pre <= cfg.clip_llr).astype(jnp.float32)
-                g_app_j = gapp_scr[j] * inside
-                for e in self.vn_edges[j]:
-                    gc_scr[e] = gc_scr[e] + g_app_j
+            # Iterations below the emission window have structurally-zero
+            # APP cotangents — the whole fold is skipped.
+            @pl.when(t >= t0)
+            def _fold_gapp():
+                for j in range(self.target):
+                    app_pre = pre_scr[j].astype(jnp.float32) \
+                        if self.enc_app else pre_scr[j]
+                    inside = jnp.logical_and(
+                        app_pre >= -cfg.clip_llr,
+                        app_pre <= cfg.clip_llr).astype(jnp.float32)
+                    g_app_j = gapp_scr[j] * inside
+                    for e in self.vn_edges[j]:
+                        gc_scr[e] = gc_scr[e] + g_app_j
 
             # ---- weighting backward (per check), in CN alignment ----
             # Weight-gradient row writes are DEFERRED: scalar contributions
@@ -521,12 +867,55 @@ class FusedTrainKernel(FusedNMSKernel):
             # scalar reductions to ONE sum per iteration (all checks land in
             # slot 0); per-check sharing still reduces per check
             cn_scalar = cn_mode == 3
+            nudge_b = cfg.decoding_type in (MS, QMS)
             gw_iter = gu_iter = None
+
+            def route_gw(i, gw_check, u_i):
+                """Deferred per-check weight-grad routing (per-check /
+                scalar modes) shared by the min-sum and SP branches."""
+                nonlocal gw_iter, gu_iter
+                if gw_check is None:
+                    return
+                if cn_scalar and not ucn:
+                    gw_iter = gw_check if gw_iter is None \
+                        else gw_iter + gw_check
+                elif cn_scalar:   # ucn_mode == 3 too (check_params)
+                    gw_iter = gw_check if gw_iter is None \
+                        else gw_iter + gw_check
+                    gu = gw_check * u_i
+                    gu_iter = gu if gu_iter is None else gu_iter + gu
+                elif ucn:
+                    s_u = jnp.sum(gw_check * u_i)
+                    s_c = jnp.sum(gw_check) - s_u
+                    acc("cn", i if cn_mode in (2, 5) else 0, s_c)
+                    acc("ucn", i if ucn_mode in (2, 5) else 0, s_u)
+                else:
+                    acc("cn", i if cn_mode in (2, 5) else 0,
+                        jnp.sum(gw_check))
+
             for i in range(self.M):
-                u_i = u_mask[i] if ucn else None
                 edges = self.cn_edges[i]
-                m1, m2, sgn_tot, amag, sgn = self._minsum_check(edges, xc_of)
-                neg_tot = -sgn_tot
+                if sp:
+                    # fused SP backward: tanh-product prefix VJP, no
+                    # residuals beyond the UCN mask (cres rows [0, M))
+                    u_i = cres_scr[i] if ucn else None
+                    route_gw(i, self._sp_check_bwd(
+                        t, i, edges, xc_of, gc_scr, u_i,
+                        w_cn_ref, w_ucn_ref, acc), u_i)
+                    continue
+                u_i = cres_scr[3 * M + i] if ucn else None
+                # per-check reduction results come from the forward's
+                # residual stream; only the per-edge elementwise |xc|/sign
+                # are re-derived here
+                m1 = cres_scr[i]
+                m2 = cres_scr[M + i]
+                neg_tot = cres_scr[2 * M + i]
+                amag, sgn = {}, {}
+                for e in edges:
+                    x = xc_of(e)
+                    amag[e] = jnp.abs(x) if nudge_b else \
+                        jnp.where(x == 0.0, _PAD_MAG, jnp.abs(x))
+                    sgn[e] = jnp.where(x > 0.0, -1.0, 1.0)
                 g_mags = {}
                 gw_check = None  # deferred tile accumulator (per-check modes)
                 if cn_mode in (0, 2, 3, 5):
@@ -603,23 +992,7 @@ class FusedTrainKernel(FusedNMSKernel):
                         if ucn:
                             acc("ucn", self.cn_order[e], s_u)
                         g_mags[e] = g_mag
-                if gw_check is not None:
-                    if cn_scalar and not ucn:
-                        gw_iter = gw_check if gw_iter is None \
-                            else gw_iter + gw_check
-                    elif cn_scalar:   # ucn_mode == 3 too (check_params)
-                        gw_iter = gw_check if gw_iter is None \
-                            else gw_iter + gw_check
-                        gu = gw_check * u_i
-                        gu_iter = gu if gu_iter is None else gu_iter + gu
-                    elif ucn:
-                        s_u = jnp.sum(gw_check * u_i)
-                        s_c = jnp.sum(gw_check) - s_u
-                        acc("cn", i if cn_mode in (2, 5) else 0, s_c)
-                        acc("ucn", i if ucn_mode in (2, 5) else 0, s_u)
-                    else:
-                        acc("cn", i if cn_mode in (2, 5) else 0,
-                            jnp.sum(gw_check))
+                route_gw(i, gw_check, u_i)
 
                 # ---- tie-splitting extrinsic-min backward ----
                 is_m1 = {e: amag[e] == m1 for e in edges}   # bool
@@ -684,8 +1057,10 @@ class FusedTrainKernel(FusedNMSKernel):
                 g_v2c = {}
                 for e in self.vn_edges[j]:
                     # STE / clip_tf_grad mask on the pre-clip v2c value
-                    # (select form: one fewer op than mask-multiply)
-                    g = jnp.where(jnp.abs(c2v_scr[e]) <= msg_clip,
+                    # (select form: one fewer op than mask-multiply).
+                    # enc: |venc| <= clip IS the inclusive inside-test
+                    # (venc = xq inside, sign*2*clip outside)
+                    g = jnp.where(jnp.abs(v2c_dec(e)[0]) <= msg_clip,
                                   gc_scr[e], 0.0)
                     g_v2c[e] = g
                     g_tot = g if g_tot is None else g_tot + g
@@ -728,31 +1103,54 @@ class FusedTrainKernel(FusedNMSKernel):
     @functools.cached_property
     def _fwd_call(self):
         N, zp, TB, E, T = self.N, self.zp, self.tb, self.E, self.T
-        target = self.target
+        target, R = self.target, self.cres_rows
         w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         in_specs = [pl.BlockSpec((N * zp, TB), lambda b: (0, b),
                                  memory_space=pltpu.VMEM)]
         in_specs += [w_spec] * len(self._weight_inputs(1, 1, 1))
         out_specs = [pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec(memory_space=pl.ANY)]
+        if R:
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        enc = self.enc_hist
+        app_dt = jnp.bfloat16 if self.enc_app else jnp.float32
+        hist_dt = jnp.bfloat16 if enc else jnp.float32
         if self.fwd_pp:
-            scratch = [pltpu.VMEM((2, E, zp, TB), jnp.float32),
-                       pltpu.VMEM((2, target, zp, TB), jnp.float32),
-                       pltpu.SemaphoreType.DMA((2,)),
-                       pltpu.SemaphoreType.DMA((2,))]
+            # enc: the state stays single-buffer (the checkpoint streams
+            # from the bf16 henc staging pair instead)
+            scratch = [pltpu.VMEM((E, zp, TB), jnp.float32) if enc
+                       else pltpu.VMEM((2, E, zp, TB), jnp.float32),
+                       pltpu.VMEM((2, target, zp, TB), app_dt)]
+            if R:
+                scratch.append(pltpu.VMEM((2, R, zp, TB), jnp.float32))
+            if enc:
+                scratch.append(pltpu.VMEM((2, E, zp, TB), jnp.bfloat16))
+            scratch += [pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))]
+            if R:
+                scratch.append(pltpu.SemaphoreType.DMA((2,)))
         else:
             scratch = [pltpu.VMEM((E, zp, TB), jnp.float32),
-                       pltpu.VMEM((target, zp, TB), jnp.float32),
-                       pltpu.SemaphoreType.DMA(()),
-                       pltpu.SemaphoreType.DMA(())]
+                       pltpu.VMEM((target, zp, TB), app_dt)]
+            if R:
+                scratch.append(pltpu.VMEM((R, zp, TB), jnp.float32))
+            if enc:
+                scratch.append(pltpu.VMEM((E, zp, TB), jnp.bfloat16))
+            scratch += [pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())]
+            if R:
+                scratch.append(pltpu.SemaphoreType.DMA(()))
         kernel = functools.partial(FusedTrainKernel._fwd_kernel, self)
 
         def call(llr_pad, *weights):
             B = llr_pad.shape[-1]
             out_shape = [
-                jax.ShapeDtypeStruct((T, target, zp, B), jnp.float32),
-                jax.ShapeDtypeStruct((T, E, zp, B), jnp.float32),
+                jax.ShapeDtypeStruct((self.Ta, target, zp, B), app_dt),
+                jax.ShapeDtypeStruct((T, E, zp, B), hist_dt),
             ]
+            if R:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((T, R, zp, B), jnp.float32))
             return pl.pallas_call(
                 kernel, grid=(B // TB,), in_specs=in_specs,
                 out_shape=out_shape, out_specs=out_specs,
@@ -761,8 +1159,8 @@ class FusedTrainKernel(FusedNMSKernel):
                     vmem_limit_bytes=self.fwd_vmem_limit),
                 cost_estimate=pl.CostEstimate(
                     flops=T * E * zp * B * 16,
-                    bytes_accessed=(llr_pad.size + T * (target + E) * zp * B)
-                    * 4,
+                    bytes_accessed=(llr_pad.size
+                                    + T * (target + E + R) * zp * B) * 4,
                     transcendentals=0),
             )(llr_pad, *weights)
 
@@ -771,14 +1169,16 @@ class FusedTrainKernel(FusedNMSKernel):
     @functools.cached_property
     def _bwd_call(self):
         N, zp, TB, E, T = self.N, self.zp, self.tb, self.E, self.T
-        target = self.target
+        target, R = self.target, self.cres_rows
         Tp = _round_up(T, 8)
         w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         in_specs = [pl.BlockSpec((N * zp, TB), lambda b: (0, b),
                                  memory_space=pltpu.VMEM)]
         in_specs += [w_spec] * len(self._weight_inputs(1, 1, 1))
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # hist
-                     pl.BlockSpec(memory_space=pl.ANY),   # pre-clip APPs
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # hist (v2c_pre)
+        if R:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # residuals
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # pre-clip APPs
                      pl.BlockSpec(memory_space=pl.ANY)]   # APP cotangent
         out_specs, out_shapes = [], []
         self._g_kinds = []
@@ -791,26 +1191,38 @@ class FusedTrainKernel(FusedNMSKernel):
                 out_shapes.append(
                     jax.ShapeDtypeStruct((Tp, dimp), jnp.float32))
                 self._g_kinds.append((kind, d))
+        hist_dt = jnp.bfloat16 if self.enc_hist else jnp.float32
+        app_dt = jnp.bfloat16 if self.enc_app else jnp.float32
         if self.bwd_db:
-            scratch = [pltpu.VMEM((2, E, zp, TB), jnp.float32),
-                       pltpu.VMEM((E, zp, TB), jnp.float32),
-                       pltpu.VMEM((2, target, zp, TB), jnp.float32),
-                       pltpu.VMEM((2, target, zp, TB), jnp.float32),
-                       pltpu.SemaphoreType.DMA((2,)),
-                       pltpu.SemaphoreType.DMA((2,)),
-                       pltpu.SemaphoreType.DMA((2,))]
+            scratch = [pltpu.VMEM((2, E, zp, TB), hist_dt),
+                       pltpu.VMEM((E, zp, TB), jnp.float32)]
+            if R:
+                scratch.append(pltpu.VMEM((2, R, zp, TB), jnp.float32))
+            scratch += [pltpu.VMEM((2, target, zp, TB), app_dt),
+                        pltpu.VMEM((2, target, zp, TB), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))]
+            if R:
+                scratch.append(pltpu.SemaphoreType.DMA((2,)))
+            scratch += [pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))]
         else:
-            scratch = [pltpu.VMEM((E, zp, TB), jnp.float32),
-                       pltpu.VMEM((E, zp, TB), jnp.float32),
-                       pltpu.VMEM((target, zp, TB), jnp.float32),
-                       pltpu.VMEM((target, zp, TB), jnp.float32),
-                       pltpu.SemaphoreType.DMA(()),
-                       pltpu.SemaphoreType.DMA(()),
-                       pltpu.SemaphoreType.DMA(())]
+            scratch = [pltpu.VMEM((E, zp, TB), hist_dt),
+                       pltpu.VMEM((E, zp, TB), jnp.float32)]
+            if R:
+                scratch.append(pltpu.VMEM((R, zp, TB), jnp.float32))
+            scratch += [pltpu.VMEM((target, zp, TB), app_dt),
+                        pltpu.VMEM((target, zp, TB), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())]
+            if R:
+                scratch.append(pltpu.SemaphoreType.DMA(()))
+            scratch += [pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())]
         kernel = functools.partial(FusedTrainKernel._bwd_kernel, self)
+        n_trans = T * E * zp * (3 if self.cfg.decoding_type == SP else 0)
 
-        def call(llr_pad, weights, hist, apps_pre_pad, g_apps_pad):
+        def call(llr_pad, weights, hist, cres, apps_pre_pad, g_apps_pad):
             B = llr_pad.shape[-1]
+            extra = (cres,) if R else ()
             return pl.pallas_call(
                 kernel, grid=(B // TB,), in_specs=in_specs,
                 out_shape=out_shapes, out_specs=out_specs,
@@ -818,58 +1230,58 @@ class FusedTrainKernel(FusedNMSKernel):
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=self.bwd_vmem_limit),
                 cost_estimate=pl.CostEstimate(
-                    flops=T * E * zp * B * 40,
+                    flops=T * E * zp * B * 34,
                     bytes_accessed=(llr_pad.size
-                                    + T * (2 * target + E) * zp * B) * 4,
-                    transcendentals=0),
-            )(llr_pad, *weights, hist, apps_pre_pad, g_apps_pad)
+                                    + T * (2 * target + E + R) * zp * B) * 4,
+                    transcendentals=n_trans * B),
+            )(llr_pad, *weights, hist, *extra, apps_pre_pad, g_apps_pad)
 
         return call
 
-    def _pad_llr(self, llr):
-        N, z, zp = self.N, self.z, self.zp
-        B = llr.shape[-1]
-        if B % self.tb != 0:
-            raise ValueError(f"batch {B} not a multiple of kernel tile "
-                             f"{self.tb}")
-        x = llr.reshape(N, z, B)
-        if zp > z:
-            x = jnp.pad(x, ((0, 0), (0, zp - z), (0, 0)),
-                        constant_values=-self.cfg.clip_llr)
-        return x.reshape(N * zp, B)
-
     def _build_vjp(self):
-        z, zp, T, target = self.z, self.zp, self.T, self.target
+        z, zp, T, target, P = self.z, self.zp, self.T, self.target, self.P
 
         clip = self.cfg.clip_llr
 
         def fwd_run(cn, ucn, vn, llr):
-            llr_pad = self._pad_llr(llr)
+            llr_pad = self._pack_llr(llr)
             weights = self._weight_inputs(cn, ucn, vn)
-            pre_pad, hist = self._fwd_call(llr_pad, *weights)
-            B = llr.shape[-1]
+            outs = self._fwd_call(llr_pad, *weights)
+            (pre_pad, hist), cres = outs[:2], \
+                (outs[2] if self.cres_rows else None)
+            bl = llr_pad.shape[-1]
             # the kernel streams the PRE-clip APPs (the backward's clip
-            # mask source); the primal output applies the clip here
-            apps = jnp.clip(pre_pad[:, :, :z, :], -clip, clip) \
-                .reshape(T, target * z, B)
-            return apps, (llr_pad, hist, pre_pad)
+            # mask source; bf16 under enc_app — exact grid values); the
+            # primal output upconverts and applies the clip here.  Unpack
+            # the P sublane-packed batch groups back to batch lanes
+            # (inverse of _pack_llr's layout)
+            Ta = self.Ta
+            pre_f32 = pre_pad[:, :, :P * z, :].astype(jnp.float32)
+            apps = jnp.clip(pre_f32, -clip, clip) \
+                .reshape(Ta, target, P, z, bl).transpose(0, 1, 3, 2, 4) \
+                .reshape(Ta, target * z, P * bl)
+            return apps, (llr_pad, hist, cres, pre_pad)
 
         @jax.custom_vjp
         def f(cn, ucn, vn, llr):
             return fwd_run(cn, ucn, vn, llr)[0]
 
         def f_fwd(cn, ucn, vn, llr):
-            apps, (llr_pad, hist, pre_pad) = fwd_run(cn, ucn, vn, llr)
-            return apps, (cn, ucn, vn, llr, llr_pad, hist, pre_pad)
+            apps, (llr_pad, hist, cres, pre_pad) = fwd_run(cn, ucn, vn, llr)
+            return apps, (cn, ucn, vn, llr, llr_pad, hist, cres, pre_pad)
 
         def f_bwd(res, g):
-            cn, ucn, vn, llr, llr_pad, hist, pre_pad = res
-            B = llr.shape[-1]
-            g4 = g.reshape(T, target, z, B)
-            if zp > z:
-                g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, zp - z), (0, 0)))
+            cn, ucn, vn, llr, llr_pad, hist, cres, pre_pad = res
+            bl = llr_pad.shape[-1]
+            Ta = self.Ta
+            # pack the APP cotangent into the kernel's sublane-group layout
+            # (pad rows zero — they contribute nothing to any gradient)
+            g4 = g.reshape(Ta, target, z, P, bl).transpose(0, 1, 3, 2, 4) \
+                .reshape(Ta, target, P * z, bl)
+            if zp > P * z:
+                g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, zp - P * z), (0, 0)))
             weights = self._weight_inputs(cn, ucn, vn)
-            outs = self._bwd_call(llr_pad, weights, hist, pre_pad, g4)
+            outs = self._bwd_call(llr_pad, weights, hist, cres, pre_pad, g4)
             grads = {"cn": None, "ucn": None, "vn": None}
             for (kind, d), o in zip(self._g_kinds, outs):
                 grads[kind] = o[:T, :d]
@@ -883,7 +1295,9 @@ class FusedTrainKernel(FusedNMSKernel):
 
     def apps(self, stacked: Dict[str, Optional[jnp.ndarray]],
              llr: jnp.ndarray) -> jnp.ndarray:
-        """Differentiable per-iteration APP stack [T, target*z, B]."""
+        """Differentiable per-iteration APP stack
+        [T - app_t0, target*z, B] (the emission window, full T by
+        default)."""
         T = self.T
         dummy = jnp.zeros((T, 1), jnp.float32)
         cn = stacked["cn"] if stacked["cn"] is not None else dummy

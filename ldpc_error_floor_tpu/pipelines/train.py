@@ -149,10 +149,12 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
                              neural_mode=cfg.neural_mode, remat=big,
                              unroll=unroll)
         # fused differentiable Pallas path (ops/pallas_train.py): on TPU,
-        # when the per-device batch fills kernel tiles and the decode type
-        # has a fused backward (everything but SP), train through the
+        # when the per-device batch fills kernel tiles, train through the
         # custom-VJP kernel — gradients match the scan backend
-        # (tests/test_pallas_train.py), throughput is several x.  auto_tb
+        # (tests/test_pallas_train.py), throughput is several x; round 5
+        # added the SP (tanh/atanh) backward, so every decoding type rides
+        # the kernel like the reference's one uniform path
+        # (Main_Functions.py:238-245).  auto_tb
         # sizes the tile from the modeled scoped-VMEM footprint of the
         # train kernel pair (ops/pallas_decoder.kernel_vmem_bytes) — in
         # round 4 the in-place kernels fit every bundled code incl. the
@@ -163,10 +165,16 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         tb_train = auto_tb(graph, local_bs, mode="train",
                            ucn=spec.ucn_enabled, target=target_node or 0,
                            n_iters=end)
-        if (jax.default_backend() == "tpu" and cfg.decoding_type != 0
+        if (jax.default_backend() == "tpu"
                 and not cfg.scan_unroll and tb_train is not None):
+            # static eta == 0 (the recipe default): the fused kernel emits
+            # only the last iteration's APPs — the skipped iterations'
+            # cotangents are structurally zero, so gradients are identical
+            # while the APP-stack HBM traffic drops by T x
+            app_t0 = (end - 1) if cfg.etha_start == 0.0 else 0
             dcfg = dataclasses_replace(dcfg, backend="pallas",
-                                       pallas_tb=tb_train)
+                                       pallas_tb=tb_train,
+                                       pallas_app_t0=app_t0)
         decoder = NMSDecoder(code, dcfg, spec, graph=graph)
         optimizer = make_optimizer(cfg.learn_rate_start)
         opt_state = optimizer.init(params)
@@ -200,12 +208,18 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         if not cfg.train_on_zero_word:
             from ldpc_error_floor_tpu.codes.encoder import Encoder
             encoder = Encoder(graph)
+        # eta identically zero (the reference recipe default,
+        # main_Base.py:49 etha=0): the loss takes its exact
+        # last-iteration-only fast path at compile time (losses.py) —
+        # 0 * discount stays 0, so the per-epoch decay never changes it
+        static_etha = 0.0 if cfg.etha_start == 0.0 else None
+
         def build_epoch_step(dec):
             return make_epoch_step(
                 dec, spec, cfg.loss_type, start, end, cfg.fixed_init,
                 optimizer, n_steps=n_train_batches, labels=labels,
                 channel=channel, sigmas=train_sigmas, data_mode=data_mode,
-                mesh=mesh, encoder=encoder)
+                mesh=mesh, encoder=encoder, static_etha=static_etha)
 
         epoch_step = build_epoch_step(decoder)
         fused_train = dcfg.backend == "pallas"

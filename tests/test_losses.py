@@ -91,3 +91,25 @@ def test_soft_fer_value_and_grad():
         da[i] = eps
         fd = (surrogate(apps + da) - surrogate(apps - da)) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, atol=2e-3)
+
+
+def test_static_etha_zero_fast_path_exact():
+    """A python etha == 0.0 takes the last-iteration-only fast path; it
+    must equal the general (traced-coefficient) path bit-for-bit for every
+    loss type (zero coefficients contribute exactly zero)."""
+    import jax.numpy as jnp
+    from ldpc_error_floor_tpu.training.losses import multi_iteration_loss
+
+    key = jax.random.PRNGKey(3)
+    apps = 8.0 * jax.random.normal(key, (5, 96, 16))
+    labels = (jax.random.uniform(jax.random.PRNGKey(4), (96, 16)) < 0.3)
+    labels = labels.astype(jnp.float32)
+    for lt in (0, 1, 2):
+        a = multi_iteration_loss(apps, labels, lt, 0.0)
+        b = multi_iteration_loss(apps, labels, lt, jnp.float32(0.0))
+        assert float(a) == float(b), (lt, float(a), float(b))
+        # gradients agree too
+        ga = jax.grad(lambda x: multi_iteration_loss(x, labels, lt, 0.0))(apps)
+        gb = jax.grad(lambda x: multi_iteration_loss(
+            x, labels, lt, jnp.float32(0.0)))(apps)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
