@@ -53,7 +53,11 @@ def try_compile(code_name, mode, tb):
     params = init_weights(spec, graph)
     stacked = stack_weights(spec, params)
     cfg = DecoderConfig(decoding_type=2, q_bit=5)
-    llr = jnp.full((code.N * code.z, tb), -4.0, jnp.float32)
+    # packed kernels decode P codewords per lane (round 5): one tile's
+    # batch is tb * P
+    zp = -(-max(code.z, 1) // 8) * 8
+    pack = max(1, zp // max(code.z, 1))
+    llr = jnp.full((code.N * code.z, tb * pack), -4.0, jnp.float32)
     if mode in ("stats", "stats_ucn", "deploy"):
         k = FusedNMSKernel(graph, cfg, spec, tb=tb, interpret=False,
                            mode="deploy" if mode == "deploy" else "stats")

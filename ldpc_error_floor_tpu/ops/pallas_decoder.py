@@ -380,12 +380,31 @@ class FusedNMSKernel:
         """STE quantizer forward in pre-scaled units: round to the integer
         grid and clamp.  Bit-exact vs round(x/step)*step then clip — the
         power-of-two pre-scale commutes with IEEE rounding."""
+        # perf-attribution diagnostic ONLY (breaks numerics): measure the
+        # kernel with the quantize chain reduced to a clamp
+        if os.environ.get("LDPC_KERNEL_NOQUANT") == "1":
+            return jnp.clip(x, -self.qclip_s, self.qclip_s)
         return jnp.clip(jnp.round(x), -self.qclip_s, self.qclip_s)
 
     def _mag_clip(self, x):
+        """Message clip/quantize for the V->C update (step 3), where ``x``
+        is ALWAYS a channel-plus-messages sum.
+
+        Round-5 attribution measured the STE round chains at 31% of the
+        decode step (benchmarks/runs/round5/ATTRIBUTION.json), and this is
+        the E-sized one — but here the round is provably the identity:
+        under QMS every addend of ``x`` is already on the quantizer grid
+        (the channel tile is quantized at kernel entry or at the step-1
+        weighting, and every C->V message passed through `_weighted_mag`'s
+        round), sums of grid points are exact in f32 at these magnitudes,
+        and round-to-nearest-even of a grid point is itself.  So the STE
+        quantize collapses to its clamp.  Bit-exactness is pinned by the
+        kernel-vs-scan parity suites."""
         if self.cfg.decoding_type == QMS:
-            return self._quantize_s(x) if self.prescaled else \
-                self._quantize(x)
+            if self.prescaled:       # grid = integers
+                return jnp.clip(x, -self.qclip_s, self.qclip_s)
+            step, clip = qms_grid(self.cfg.q_bit)   # grid = step multiples
+            return jnp.clip(x, -clip, clip)
         return jnp.clip(x, -self.cfg.clip_llr, self.cfg.clip_llr)
 
     def _weighted_mag(self, wmag):
@@ -394,6 +413,8 @@ class FusedNMSKernel:
         one clamp-to-[0, clip]: max(x,0) commutes with round."""
         if self.cfg.decoding_type == QMS:
             if self.prescaled:
+                if os.environ.get("LDPC_KERNEL_NOQUANT") == "1":
+                    return jnp.clip(wmag, 0.0, self.qclip_s)
                 return jnp.clip(jnp.round(wmag), 0.0, self.qclip_s)
             step, clip = qms_grid(self.cfg.q_bit)
             return jnp.clip(jnp.round(wmag * (1.0 / step)) * step,
@@ -565,6 +586,9 @@ class FusedNMSKernel:
                             u_mask[i] if ucn else None)
                         c2v_scr[e] = self._unroll(y, self.edge_shift[e])
                 else:
+                    # perf-attribution diagnostic ONLY (breaks numerics):
+                    # elide the sequential min1/min2 reduction chain
+                    nomin = os.environ.get("LDPC_KERNEL_NOMIN") == "1"
                     m1 = m2 = None
                     sgn_tot = None
                     mags, sgns = {}, {}
@@ -580,6 +604,8 @@ class FusedNMSKernel:
                         if m1 is None:
                             m1, m2 = a, jnp.full_like(a, _PAD_MAG)
                             sgn_tot = s_
+                        elif nomin:
+                            sgn_tot = sgn_tot * s_
                         else:
                             m2 = jnp.minimum(m2, jnp.maximum(m1, a))
                             m1 = jnp.minimum(m1, a)
@@ -601,6 +627,9 @@ class FusedNMSKernel:
             # per iteration instead of one per VN.
             wrong_acc = None
             apps = []
+            # perf-attribution diagnostic ONLY (breaks counters): elide the
+            # per-lane error-stat reduction, keep the APP sums
+            nostats = os.environ.get("LDPC_KERNEL_NOSTATS") == "1"
             for j in range(N):
                 app_j = None
                 for e in self.vn_edges[j]:
@@ -611,11 +640,13 @@ class FusedNMSKernel:
                     base = self._quantize_s(base)
                 app_j = base if app_j is None else base + app_j
                 apps.append(app_j)
-                if j < self.target:
+                if j < self.target and not nostats:
                     wrong = (app_j >= 0.0).astype(jnp.float32)
                     wrong_acc = wrong if wrong_acc is None \
                         else wrong_acc + wrong
-            if valid is not None:
+            if nostats:
+                wrong_acc = apps[0]
+            elif valid is not None:
                 wrong_acc = wrong_acc * valid
             nerr_tot = self._group_sum(wrong_acc)                 # [P, TB]
             wrong_any = (nerr_tot > 0.0).astype(jnp.float32)
@@ -757,9 +788,14 @@ class FusedNMSKernel:
         so this is bit-exact vs the per-edge form (which remains for
         per-edge sharing 1/4)."""
         cn_mode = self.spec.sharing[0]
+        # perf-attribution diagnostic ONLY (breaks numerics): elide the
+        # neural weighting chain (weight read + blend + multiply)
+        if os.environ.get("LDPC_KERNEL_NOWEIGHT") == "1":
+            cn_mode = 0
         if cn_mode in (0, 2, 3, 5):
             m1f, m2f = self._eps_fix(m1), self._eps_fix(m2)
-            w = self._check_weight_eff(t, i, edges[0], w_cn_ref, w_ucn_ref,
+            w = None if cn_mode == 0 else \
+                self._check_weight_eff(t, i, edges[0], w_cn_ref, w_ucn_ref,
                                        u_i)
             if w is None:
                 m1w, m2w = m1f, m2f

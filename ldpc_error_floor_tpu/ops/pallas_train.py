@@ -465,7 +465,9 @@ class FusedTrainKernel(FusedNMSKernel):
                 if enc:
                     vs = []
                     for e, pv in zip(edges_j, pre):
-                        xq = self._quantize(pv)
+                        # grid-sum input: the STE round is the identity
+                        # (see FusedNMSKernel._mag_clip), clamp suffices
+                        xq = self._mag_clip(pv)
                         venc = jnp.where(jnp.abs(pv) <= self.enc_clip, xq,
                                          jnp.sign(pv) * self.enc_marker)
                         henc_buf[e] = venc.astype(jnp.bfloat16)
