@@ -24,6 +24,9 @@ def main() -> int:
     p.add_argument("--sharing", type=int, nargs=3, default=[3, 0, 3])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--decoding-type", type=int, default=2,
+                   help="0 SP / 1 MS / 2 QMS / 3 MS_RAW (round 5: SP has "
+                        "a fused backward too)")
     args = p.parse_args()
 
     from ldpc_error_floor_tpu.utils import enable_compile_cache
@@ -39,7 +42,7 @@ def main() -> int:
     graph = TannerGraph(code)
     T = args.iters
     spec = WeightSpec(sharing=tuple(args.sharing), n_iters=T)
-    channel = AWGNChannel(code, decoding_type=2, q_bit=5)
+    channel = AWGNChannel(code, decoding_type=args.decoding_type, q_bit=5)
     sigma = jnp.float32(code.snr_sigmas([3.0])[0])
     key = jax.random.PRNGKey(3)
     opt = make_optimizer(1e-3)
@@ -49,7 +52,8 @@ def main() -> int:
         for batch in args.batches:
             # production config: static eta=0 loss -> last-iteration APP
             # emission window (pipelines/train.py sets the same)
-            dc = DecoderConfig(decoding_type=2, q_bit=5, backend="pallas",
+            dc = DecoderConfig(decoding_type=args.decoding_type, q_bit=5,
+                               backend="pallas",
                                pallas_tb=tb, pallas_app_t0=T - 1)
             try:
                 dec = NMSDecoder(code, dc, spec, graph=graph)

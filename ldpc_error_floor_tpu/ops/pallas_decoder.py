@@ -54,6 +54,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _atanh(p):
+    """atanh via logs: Mosaic has no TPU lowering for the atanh
+    primitive (measured round 5: 'Unimplemented primitive ... atanh').
+    Inputs are pre-clipped to +-(1 - 1e-7), so the quotient is finite."""
+    return 0.5 * jnp.log((1.0 + p) / (1.0 - p))
+
+
 #: The Mosaic compiler's DEFAULT scoped-VMEM limit for one Pallas kernel
 #: invocation.  16 MiB was measured on v5e via compile errors (round 3);
 #: round 4 discovered it is only a compiler default, raisable per kernel
@@ -579,7 +586,7 @@ class FusedNMSKernel:
                         else:
                             p = fwd[k] * bwd[k]
                         p = jnp.clip(p, -1.0 + 1e-7, 1.0 - 1e-7)
-                        out = -2.0 * jnp.arctanh(p)
+                        out = -2.0 * _atanh(p)
                         y = self._weight_edge(
                             t, i, e, jnp.abs(out), jnp.sign(out),
                             w_cn_ref, w_ucn_ref,

@@ -65,7 +65,8 @@ from ldpc_error_floor_tpu.models.nms import (MS, MS_RAW, QMS, SP,
                                              DecoderConfig, _EPS_MSG,
                                              _PAD_MAG)
 from ldpc_error_floor_tpu.models.weights import WeightSpec
-from ldpc_error_floor_tpu.ops.pallas_decoder import FusedNMSKernel, _round_up
+from ldpc_error_floor_tpu.ops.pallas_decoder import (FusedNMSKernel,
+                                                     _atanh, _round_up)
 from ldpc_error_floor_tpu.ops.ste import qms_grid
 
 
@@ -281,7 +282,7 @@ class FusedTrainKernel(FusedNMSKernel):
         for k, e in enumerate(edges):
             p = Fk[k] * Bk[k]
             pc = jnp.clip(p, lo, hi)
-            out = -2.0 * jnp.arctanh(pc)
+            out = -2.0 * _atanh(pc)
             mag = jnp.abs(out)
             sgn_out = jnp.sign(out)
             g_c2vnew = self._roll(gc_scr[e], self.edge_shift[e])
@@ -553,7 +554,7 @@ class FusedTrainKernel(FusedNMSKernel):
                         else:
                             p = fwd[k] * bwd[k]
                         p = jnp.clip(p, -1.0 + 1e-7, 1.0 - 1e-7)
-                        out = -2.0 * jnp.arctanh(p)
+                        out = -2.0 * _atanh(p)
                         y = self._weight_edge(
                             t, i, e, jnp.abs(out), jnp.sign(out),
                             w_cn_ref, w_ucn_ref,

@@ -165,6 +165,15 @@ def run_training(cfg: ExperimentConfig, verbose: bool = True,
         tb_train = auto_tb(graph, local_bs, mode="train",
                            ucn=spec.ucn_enabled, target=target_node or 0,
                            n_iters=end)
+        # SP at tb 256 crashes the v5e compile helper (measured round 5:
+        # tpu_compile_helper exit 1 on the tanh/log-heavy pair; tb 128
+        # compiles and runs at 762k trained cw/s) — cap the tile.  A
+        # residual compile failure still degrades to scan at runtime.
+        if cfg.decoding_type == 0 and tb_train is not None:
+            tb_train = min(tb_train, 128)
+            if local_bs % (tb_train * max(1, (-(-code.z // 8) * 8)
+                                          // max(code.z, 1))) != 0:
+                tb_train = None
         if (jax.default_backend() == "tpu"
                 and not cfg.scan_unroll and tb_train is not None):
             # static eta == 0 (the recipe default): the fused kernel emits

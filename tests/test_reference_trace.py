@@ -86,7 +86,14 @@ def test_pallas_backend_matches_reference_apps(path):
     d, meta = _load(path)
     code, graph, spec, cfg, params, llr = _setup(d, meta)
     kern = FusedNMSKernel(graph, cfg, spec, tb=4, interpret=True)
-    app, _, _ = kern.decode_stats(stack_weights(spec, params), llr)
+    # the golden traces carry batch 4; packed kernels (z=1: P=8 codewords
+    # per lane) need tb*P columns — tile the batch and compare the
+    # original columns (lanes are independent)
+    B = llr.shape[-1]
+    reps = max(1, (kern.tb * kern.P) // B)
+    llr_t = jnp.tile(llr, (1, reps)) if reps > 1 else llr
+    app, _, _ = kern.decode_stats(stack_weights(spec, params), llr_t)
+    app = app[:, :B]
     # the kernel emits only the final-iteration APP, over all N nodes;
     # the trace records the systematic target slice
     tz = d["apps"].shape[-1]
