@@ -136,14 +136,16 @@ def main():
     if on_tpu:
         # fused differentiable Pallas path (the pipeline default on TPU);
         # the round-4 in-place kernels fit tb 256 for wman — try both tiles
+        # production config (pipelines/train.py): static eta=0 loss +
+        # last-iteration APP emission window
         for batch in (2048, 8192, 32768):
             cfgs_t.append((batch, "pallas", DecoderConfig(
                 decoding_type=2, q_bit=5, backend="pallas",
-                pallas_tb=128)))
+                pallas_tb=128, pallas_app_t0=T - 1)))
         for batch in (8192, 32768):
             cfgs_t.append((batch, "pallas256", DecoderConfig(
                 decoding_type=2, q_bit=5, backend="pallas",
-                pallas_tb=256)))
+                pallas_tb=256, pallas_app_t0=T - 1)))
         # scan path for reference (full unroll + no remat policy)
         cfgs_t.append((2048, "scan", DecoderConfig(
             decoding_type=2, q_bit=5, unroll=T)))
@@ -160,7 +162,8 @@ def main():
                                     train_start=0, train_end=T,
                                     fixed_init=0, optimizer=opt,
                                     n_steps=n_steps, labels=labels,
-                                    channel=channel, sigmas=sigmas)
+                                    channel=channel, sigmas=sigmas,
+                                    static_etha=0.0)
 
             def run_epoch(p, o, k):
                 # donate_argnums=(0,1) — pass copies so timing reuses args
