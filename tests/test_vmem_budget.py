@@ -31,7 +31,11 @@ MEASURED = [
     (Z64, "stats", True, 256, True, True),   # model conservative here
     (Z64, "stats", True, 128, True, False),
     (Z64, "deploy", False, 256, True, False),
-    (Z64, "train", False, 256, False, False),  # measured compile failure
+    # round-5 re-calibration (benchmarks/vmem_calibrate.py on the
+    # residual-stream/bf16 train kernels): the z64 tb256 pair now
+    # compiles at its RAISED limit; the model stays conservative vs the
+    # 16 MiB default, which is the allowed direction
+    (Z64, "train", False, 256, True, True),
     (Z64, "train", False, 128, True, False),
     (Z72, "stats", False, 256, False, False),  # measured compile failure
     (Z72, "stats", False, 128, True, False),
