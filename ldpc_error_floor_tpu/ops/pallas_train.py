@@ -806,8 +806,17 @@ class FusedTrainKernel(FusedNMSKernel):
             # UCN masks come from the residual stream, so the backward
             # runs NO VN sum phase, NO sequential min reduction and NO
             # UCN APP/parity recompute (round-4 VERDICT item 3).
-            llr_pre, llr_w = self._llr_weighted(self._llr_tile_fn,
-                                                w_vn_ref, t)
+            # the backward only needs the PRE-quantize weighted channel
+            # tiles (the VN-weight STE mask source) — and only when VN
+            # weights exist; the post-quantize tiles the forward uses are
+            # dead here since UCN masks come from the residual stream
+            if vn_mode > 0:
+                llr_pre = [self._llr_tile_fn(j) *
+                           (w_vn_ref[t, j] if vn_mode in (2, 5)
+                            else w_vn_ref[t, 0])
+                           for j in range(N)]
+            else:
+                llr_pre = None
 
             def v2c_dec(e):
                 """(value-for-mask, xq-or-pre): under enc the bf16 word
