@@ -27,8 +27,10 @@ Semantics are identical to `NMSDecoder._decode_impl` with
 engine and harvester use): MS / QMS / MS_RAW / SP decoding, all weight
 sharing modes, UCN detection, systematic target restriction, and the
 reference's zero-message epsilon handling (`Main_Functions.py:229-250`).
-The kernel is forward-only — training takes gradients through the scan
-decoder instead.
+This module's kernels are forward-only; training runs through their
+custom-VJP twins in ops/pallas_train.py (FusedTrainKernel subclasses
+FusedNMSKernel and reuses the graph tables, rolls, packing and the
+weighting chain defined here).
 """
 
 from __future__ import annotations
